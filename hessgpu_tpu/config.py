@@ -1,0 +1,173 @@
+"""Runtime configuration for the TPU Hessian/SIFT pipeline.
+
+One dataclass replaces the reference's two-tier flag system (compile-time
+config.h personalities + ~60 GlobalParam statics set by the char-packed
+ParseParam parser, reference SiftGPU.cpp:855-1380 / GlobalUtil.cpp:51-144).
+`parse_args` keeps the reference CLI option names so existing hess/SiftGPU
+invocations carry over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from .params import ScaleSpaceParams
+
+# Truncation methods (reference SiftPyramid.h:70-79 / -tc flags)
+TRUNCATE_NONE = -1
+TRUNCATE_KEEP_HIGHEST_LEVELS = 0   # -tc / -tc1: drop small-scale levels first
+TRUNCATE_TOP_K = 1                 # -topk: global top-K by |response|
+TRUNCATE_KEEP_LOWEST_LEVELS = 2    # -tc2: drop large-scale levels first
+# -tc3 maps to method 0 in the reference parser as well.
+
+
+@dataclasses.dataclass
+class SiftConfig:
+    """All runtime knobs. Defaults mirror GlobalUtil.cpp:51-144."""
+
+    # ---- detector personality & scale space ----
+    detector: str = "hessian"            # "hessian" | "dog"
+    num_scales: int = 3                  # -d
+    threshold: Optional[float] = None    # -t (default 0.02/num_scales)
+    edge_threshold: float = 10.0         # -e
+    first_octave: int = 0                # -fo (hessian restricts to >= 0)
+    num_octaves: int = -1                # -no (-1 = auto)
+    filter_width_factor: float = 4.0     # -f
+    max_filter_width: int = -1           # -mfw (unused unless > 0)
+
+    # ---- keypoint refinement / orientation / descriptor ----
+    subpixel: bool = True                # -s (SubpixelLocalization)
+    max_orientations: int = 2            # -m (1..4)
+    fixed_orientation: bool = False      # -ofix
+    orientation_window_factor: float = 2.0    # -w
+    orientation_gaussian_factor: float = 1.5  # (fixed upstream)
+    multi_orientation_threshold: float = 0.8
+    descriptor_window_factor: float = 3.0     # -dw
+    half_sift: bool = False              # -half
+    compute_descriptors: bool = True     # -sd disables
+    normalized_sift: bool = True         # -unn disables
+    mr_size: float = 3.0                 # vlfeat export measurement region
+
+    # ---- capacity / truncation ----
+    max_dim: int = 3200                  # -maxd working-dimension cap
+    min_dim: int = 16                    # -mind
+    max_feature_percent: float = 0.005
+    max_level_features: int = 4096
+    truncate_method: int = TRUNCATE_NONE
+    feature_count_threshold: int = -1    # -tc*/-topk value
+
+    # ---- coordinates / output ----
+    lowe_origin: bool = False            # -loweo: (0,0) at top-left corner
+    binary_sift: int = 0                 # 0 text, 1 -b, 2 -bvlf
+    darkness_adaption: bool = False      # -da
+
+    # ---- execution ----
+    use_pallas: bool = True              # Pallas kernels on TPU; jnp fallback
+    conv_mode: str = "chain"             # "chain" (reference parity) | "direct"
+    dtype: str = "float32"
+    verbose: int = 1                     # -v
+
+    def scale_params(self) -> ScaleSpaceParams:
+        thr = self.threshold if self.threshold is not None else 0.02 / self.num_scales
+        return ScaleSpaceParams(
+            num_scales=self.num_scales,
+            detector=self.detector,
+            threshold=thr,
+            edge_threshold=self.edge_threshold,
+            filter_width_factor=self.filter_width_factor,
+        )
+
+    @property
+    def descriptor_dim(self) -> int:
+        return 64 if self.half_sift else 128
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def parse_args(cls, argv: List[str]) -> "SiftConfig":
+        """Parse reference-compatible CLI options (SiftGPU.cpp:789-1380).
+
+        Unknown or GL/CUDA-only options (-cuda, -glsl, -pack, -lc, ...) are
+        accepted and ignored so existing scripts keep working.
+        """
+        cfg = cls()
+        i = 0
+        n = len(argv)
+
+        def val() -> str:
+            nonlocal i
+            i += 1
+            if i >= n:
+                raise ValueError(f"option {argv[i-1]} expects a value")
+            return argv[i]
+
+        while i < n:
+            opt = argv[i]
+            if opt == "-t":
+                cfg.threshold = float(val())
+            elif opt == "-e":
+                cfg.edge_threshold = float(val())
+            elif opt == "-d":
+                cfg.num_scales = int(val())
+            elif opt == "-fo":
+                cfg.first_octave = max(0, int(val())) if cfg.detector == "hessian" \
+                    else int(val())
+            elif opt == "-no":
+                cfg.num_octaves = int(val())
+            elif opt == "-f":
+                cfg.filter_width_factor = float(val())
+            elif opt == "-w":
+                cfg.orientation_window_factor = float(val())
+            elif opt == "-dw":
+                cfg.descriptor_window_factor = float(val())
+            elif opt == "-m":
+                cfg.max_orientations = max(1, min(4, int(val())))
+            elif opt == "-m2p":
+                cfg.max_orientations = 2
+            elif opt == "-s":
+                # reference: -s takes an optional numeric argument
+                if i + 1 < n and not argv[i + 1].startswith("-"):
+                    cfg.subpixel = bool(int(val()))
+                else:
+                    cfg.subpixel = True
+            elif opt == "-ofix":
+                cfg.fixed_orientation = True
+            elif opt == "-loweo":
+                cfg.lowe_origin = True
+            elif opt == "-maxd":
+                cfg.max_dim = int(val())
+            elif opt == "-mind":
+                cfg.min_dim = max(8, int(val()))
+            elif opt == "-b":
+                cfg.binary_sift = 1
+            elif opt == "-bvlf":
+                cfg.binary_sift = 2
+            elif opt == "-half":
+                cfg.half_sift = True
+            elif opt == "-sd":
+                cfg.compute_descriptors = False
+            elif opt == "-unn":
+                cfg.normalized_sift = False
+            elif opt in ("-tc", "-tc1", "-tc3"):
+                cfg.truncate_method = TRUNCATE_KEEP_HIGHEST_LEVELS
+                cfg.feature_count_threshold = int(val())
+            elif opt == "-tc2":
+                cfg.truncate_method = TRUNCATE_KEEP_LOWEST_LEVELS
+                cfg.feature_count_threshold = int(val())
+            elif opt == "-topk":
+                cfg.truncate_method = TRUNCATE_TOP_K
+                cfg.feature_count_threshold = int(val())
+            elif opt == "-v":
+                cfg.verbose = int(val())
+            elif opt == "-da":
+                cfg.darkness_adaption = True
+            elif opt in ("-cuda", "-p", "-winpos", "-display", "-device"):
+                val()  # accepted, ignored (GL/CUDA-era)
+            elif opt in ("-glsl", "-pack", "-unpack", "-lc", "-lcpu", "-lgpu",
+                         "-noprep", "-tight", "-exit", "-nomc", "-fmc",
+                         "-ads", "-k0", "-kx", "-di", "-ofast", "-debug"):
+                pass  # accepted, ignored
+            else:
+                pass  # unknown options ignored, like the reference parser
+            i += 1
+        return cfg

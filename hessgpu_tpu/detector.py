@@ -1,0 +1,94 @@
+"""HessianSift: the public detector facade.
+
+Equivalent of the SiftGPU class (reference SiftGPU.{h,cpp}): image/list
+management, lazy initialization, RunSIFT overloads, and result accessors -
+minus the GL context machinery that has no TPU counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import numpy as np
+
+from .config import SiftConfig
+from .features import FeatureTable, to_numpy_trimmed
+from .io_image import limit_working_size, load_image
+from .pyramid import detect_and_describe
+from .utils.timing import StageTimer
+
+
+class HessianSift:
+    """Detect Hessian keypoints and compute SIFT descriptors.
+
+    Usage (mirrors SiftGPU::RunSIFT, reference SiftGPU.cpp:317-415):
+        sift = HessianSift(SiftConfig())
+        feats = sift.run("img.jpg")     # or sift.run(np_array)
+        n = feats["x"].shape[0]
+    """
+
+    def __init__(self, config: Optional[SiftConfig] = None):
+        self.config = config or SiftConfig()
+        self.timer = StageTimer()
+        self._last_table: Optional[FeatureTable] = None
+        self._last_feats: Optional[dict] = None
+        self._image_list: List[str] = []
+        self._image_index = 0
+
+    # -- image list management (reference SiftGPU.cpp:229-305) -------------
+    def set_image_list(self, paths: List[str]) -> None:
+        self._image_list = list(paths)
+        self._image_index = 0
+
+    def run_next(self) -> Optional[dict]:
+        """RunSIFT() on the next image of the list; None when exhausted."""
+        if self._image_index >= len(self._image_list):
+            return None
+        path = self._image_list[self._image_index]
+        self._image_index += 1
+        return self.run(path)
+
+    # -- main entry --------------------------------------------------------
+    def run(self, image: Union[str, np.ndarray]) -> dict:
+        """Full detect + describe. Returns a dict with keys
+        x, y, sigma, theta, response, level, ftype (arrays of shape (N,))
+        and desc ((N, 128) float descriptors).
+        """
+        with self.timer.stage("load"):
+            img = load_image(image) if isinstance(image, str) else image
+            img, ds = limit_working_size(img, self.config.max_dim)
+
+        with self.timer.stage("pipeline"):
+            table = detect_and_describe(img, self.config)
+            table.x.block_until_ready()
+
+        with self.timer.stage("download"):
+            feats = to_numpy_trimmed(table)
+            if ds > 0:
+                scale = float(1 << ds)
+                off = 0.0 if self.config.lowe_origin else 0.5
+                feats["x"] = scale * (feats["x"] - off) + off
+                feats["y"] = scale * (feats["y"] - off) + off
+                feats["sigma"] = scale * feats["sigma"]
+
+        self._last_table = table
+        self._last_feats = feats
+        return feats
+
+    # -- accessors (reference GetFeatureNum/GetFeatureVector) --------------
+    @property
+    def feature_num(self) -> int:
+        return 0 if self._last_feats is None else int(self._last_feats["x"].shape[0])
+
+    def get_feature_vector(self):
+        """Returns (keypoints (N,6) float32, descriptors (N,128) float32) in
+        the reference SiftKeypoint ABI order."""
+        from .features import keypoint_buffer
+        if self._last_feats is None:
+            return np.zeros((0, 6), np.float32), np.zeros((0, 128), np.float32)
+        return keypoint_buffer(self._last_feats), self._last_feats["desc"]
+
+    def save_sift(self, path: str) -> None:
+        from .formats import save_sift
+        if self._last_feats is not None:
+            save_sift(path, self._last_feats, self.config)

@@ -1,0 +1,87 @@
+"""Fused det-of-Hessian response + gradient/orientation stencil.
+
+TPU-native equivalent of ComputeHessian_Kernel (ProgramCU.cu:518-595) and
+ComputeDOG_Kernel (ProgramCU.cu:599-653). One vectorized pass over a whole
+(num_levels, H, W) Gaussian stack produces:
+  * response: det(Hessian) * sigma^4 per level (or DoG for the "dog" mode)
+  * gradient magnitude 0.5*|grad| and orientation atan2(dy, dx)
+
+Boundary semantics: the CUDA kernel reads out-of-row neighbours through a
+linear texture (wrapping within the flat buffer) but the detector never
+accepts border keypoints, and orientation/descriptor windows are clamped to
+[1.5, dim-1.5], so replicate-padding here is behavior-equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """x shifted so result[r, c] = x[r + dy, c + dx], replicated at edges.
+
+    x: (..., H, W).
+    """
+    if dy:
+        if dy > 0:
+            x = jnp.concatenate([x[..., dy:, :], jnp.repeat(x[..., -1:, :], dy, axis=-2)], axis=-2)
+        else:
+            x = jnp.concatenate([jnp.repeat(x[..., :1, :], -dy, axis=-2), x[..., :dy, :]], axis=-2)
+    if dx:
+        if dx > 0:
+            x = jnp.concatenate([x[..., :, dx:], jnp.repeat(x[..., :, -1:], dx, axis=-1)], axis=-1)
+        else:
+            x = jnp.concatenate([jnp.repeat(x[..., :, :1], -dx, axis=-1), x[..., :, :dx]], axis=-1)
+    return x
+
+
+def hessian_response_and_gradient(
+    gauss: jnp.ndarray, norms: Sequence[float]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compute per-level normalized det-of-Hessian response and gradients.
+
+    gauss: (L, H, W) Gaussian stack.
+    norms: per-level normalization = level_sigma^4 (the reference passes
+           sigma^2 and squares it in the kernel, ProgramCU.cu:592).
+    Returns (response, grad_mag, grad_rot), each (L, H, W).
+    """
+    v12 = _shift(gauss, -1, 0)   # row above
+    v32 = _shift(gauss, 1, 0)    # row below
+    v21 = _shift(gauss, 0, -1)   # left
+    v23 = _shift(gauss, 0, 1)    # right
+    v11 = _shift(gauss, -1, -1)
+    v13 = _shift(gauss, -1, 1)
+    v31 = _shift(gauss, 1, -1)
+    v33 = _shift(gauss, 1, 1)
+
+    lxx = v21 - 2.0 * gauss + v23
+    lyy = v12 - 2.0 * gauss + v32
+    lxy = (v13 - v11 + v31 - v33) * 0.25
+
+    norm = jnp.asarray(list(norms), dtype=gauss.dtype).reshape(-1, 1, 1)
+    response = (lxx * lyy - lxy * lxy) * norm
+
+    dx = v23 - v21
+    dy = v32 - v12
+    grad = 0.5 * jnp.sqrt(dx * dx + dy * dy)
+    rot = jnp.where(grad == 0.0, 0.0, jnp.arctan2(dy, dx))
+    return response, grad, rot
+
+
+def dog_response_and_gradient(
+    gauss: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DoG personality: response[l] = gauss[l+1] - gauss[l]; gradients from
+    gauss[l+1] (reference ComputeDOG_Kernel, ProgramCU.cu:599-653).
+
+    gauss: (L, H, W); returns (L-1, H, W) arrays.
+    """
+    cur = gauss[1:]
+    dog = cur - gauss[:-1]
+    dx = _shift(cur, 0, 1) - _shift(cur, 0, -1)
+    dy = _shift(cur, 1, 0) - _shift(cur, -1, 0)
+    grad = 0.5 * jnp.sqrt(dx * dx + dy * dy)
+    rot = jnp.where(grad == 0.0, 0.0, jnp.arctan2(dy, dx))
+    return dog, grad, rot

@@ -1,0 +1,367 @@
+"""End-to-end detection pipeline: Gaussian pyramid -> Hessian response ->
+keypoints -> top-K -> orientations -> descriptors.
+
+TPU-native re-architecture of SiftPyramid::RunSIFT's template method
+(SiftPyramid.cpp:53-198) + PyramidCU stage implementations. Differences by
+design (SURVEY.md section 7):
+  * the whole pipeline is one jitted function per static (H, W, octaves)
+    bucket - no per-stage host round-trips (the reference does 4+ PCIe
+    transfers per image, PyramidCU.cpp:720-924);
+  * feature lists are fixed-capacity SoA arrays with validity masks instead
+    of atomically-compacted textures;
+  * global top-K selection is a threshold select over the concatenated
+    response vector instead of an 850-line bitonic-sort subsystem
+    (ProgramCU.cu:2205-3053);
+  * multi-orientation expansion happens on device (the reference's
+    ReshapeFeatureListCPU is a host round-trip, PyramidCU.cpp:720-924).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (SiftConfig, TRUNCATE_KEEP_HIGHEST_LEVELS,
+                     TRUNCATE_KEEP_LOWEST_LEVELS, TRUNCATE_TOP_K)
+from .features import FeatureTable
+from .ops import gaussian, hessian, keypoint, resize
+from .ops.compaction import FeatureList, compact_mask, compact_level_keypoints
+from .ops.descriptor import compute_descriptors, descriptor_window_size
+from .ops.orientation import compute_orientations
+
+TWO_PI = 2.0 * math.pi
+
+
+class PipelinePlan(NamedTuple):
+    """Static shape plan for one (H, W) input bucket."""
+    height: int
+    width: int
+    num_octaves: int
+    octave_shapes: Tuple[Tuple[int, int], ...]
+    level_caps: Tuple[int, ...]          # per (octave, key_level) capacity
+    expanded_caps: Tuple[int, ...]       # after multi-orientation expansion
+
+
+def make_plan(height: int, width: int, cfg: SiftConfig) -> PipelinePlan:
+    """Compute the static octave/capacity layout for an input size.
+
+    Mirrors SiftGPU::RunSIFT pyramid sizing: octaves until the smaller
+    working dimension reaches min_dim (SiftPyramid.cpp:305-311), capped by
+    num_octaves if set.
+    """
+    from .params import max_features_per_level, octave_shapes, required_octaves
+
+    noct = required_octaves(min(height, width), cfg.min_dim)
+    if cfg.num_octaves > 0:
+        noct = min(noct, cfg.num_octaves)
+    shapes = octave_shapes(height, width, noct)
+    p = cfg.scale_params()
+
+    caps = []
+    ecaps = []
+    for (h, w) in shapes:
+        cap = max_features_per_level(h, w, cfg.max_feature_percent,
+                                     cfg.max_level_features)
+        ecap = (int(cap * 1.5) + 7) // 8 * 8
+        for _ in p.key_levels:
+            caps.append(cap)
+            ecaps.append(ecap)
+    return PipelinePlan(height, width, noct, tuple(shapes), tuple(caps),
+                        tuple(ecaps))
+
+
+# ---------------------------------------------------------------------------
+# stage helpers
+# ---------------------------------------------------------------------------
+
+def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
+    """Gaussian stacks for every octave. img: (H, W) f32 [0,1].
+
+    Reference: PyramidCU::BuildPyramid (PyramidCU.cpp:1486-1558).
+    """
+    p = cfg.scale_params()
+    build = (gaussian.build_octave_chain if cfg.conv_mode == "chain"
+             else gaussian.build_octave_direct)
+
+    octaves = []
+    base = gaussian.blur(img, p.initial_blur_sigma(cfg.first_octave),
+                         p.filter_width_factor)
+    for o in range(plan.num_octaves):
+        if o > 0:
+            src = octaves[-1][p.level_ds - p.level_min]
+            base = resize.downsample(src, 1)
+            skip = p.octave_restart_sigma()
+            if skip > 0:
+                base = gaussian.blur(base, skip, p.filter_width_factor)
+        octaves.append(build(base, p))
+    return octaves
+
+
+def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
+                   cfg: SiftConfig):
+    """Response + gradients + per-level keypoint maps for one octave."""
+    p = cfg.scale_params()
+    if cfg.detector == "hessian":
+        # Per-level norm = sigma^4, same across octaves (the reference's
+        # octave term is deliberately disabled, PyramidCU.cpp:1569-1589).
+        norms = [(p.level_sigma(l) ** 4) for l in range(p.level_min, p.level_max + 1)]
+        resp, grad, rot = hessian.hessian_response_and_gradient(gauss_oct, norms)
+    else:
+        resp, grad, rot = hessian.dog_response_and_gradient(gauss_oct)
+
+    maps = []
+    for kl in p.key_levels:
+        m = keypoint.detect_keypoints_level(
+            resp[kl - 1], resp[kl], resp[kl + 1], gauss_oct[kl],
+            threshold=p.threshold, edge_threshold=p.edge_threshold,
+            subpixel=cfg.subpixel, hessian=(cfg.detector == "hessian"),
+        )
+        maps.append(m)
+    return maps, grad, rot
+
+
+def _apply_topk(lists: List[FeatureList], k: int) -> List[FeatureList]:
+    """Keep the k keypoints with largest |response| across all levels.
+
+    Behavior-equivalent to PyramidCU::SelectTopK (PyramidCU.cpp:1881-1989):
+    global sort by |response| desc, keep first k, preserve within-level
+    order. Ties at the threshold are broken by global list order.
+    """
+    absr = jnp.concatenate([
+        jnp.where(fl.valid, jnp.abs(fl.response), -jnp.inf) for fl in lists
+    ])
+    n = absr.shape[0]
+    kk = min(k, n)
+    topv = jax.lax.top_k(absr, kk)[0]
+    vk = topv[-1]  # k-th largest (or -inf if fewer)
+
+    above = absr > vk
+    n_above = jnp.sum(above.astype(jnp.int32))
+    ties = absr == vk
+    tie_rank = jnp.cumsum(ties.astype(jnp.int32))
+    keep = above | (ties & (tie_rank <= (kk - n_above)))
+
+    out = []
+    off = 0
+    for fl in lists:
+        cap = fl.capacity
+        sel = keep[off:off + cap] & fl.valid
+        off += cap
+        cnt, (xo, yo, so, to, ro, fo), slot_valid = compact_mask(
+            sel, [fl.x, fl.y, fl.sigma, fl.theta, fl.response, fl.ftype], cap)
+        out.append(FeatureList(x=xo, y=yo, sigma=so, theta=to, response=ro,
+                               ftype=fo, valid=slot_valid))
+    return out
+
+
+def _apply_level_truncation(lists: List[FeatureList], k: int,
+                            keep_lowest: bool) -> List[FeatureList]:
+    """-tc1/-tc2: drop whole levels until under the count threshold.
+
+    Reference: SiftPyramid::LimitFeatureCount (SiftPyramid.cpp:224-277).
+    keep_lowest=True keeps small-scale levels (-tc2); False drops them first.
+    """
+    counts = jnp.stack([fl.count() for fl in lists])
+    total = jnp.sum(counts)
+    if keep_lowest:
+        # keep levels while cumulative count stays under k (scan low->high)
+        cum = jnp.cumsum(counts)
+        keep_level = (cum - counts) < k  # level kept if it starts below k
+    else:
+        # drop from the lowest levels while remaining total still > k
+        suffix = total - (jnp.cumsum(counts) - counts)  # total from level i on
+        keep_level = suffix <= k
+        # always keep at least the last level set that brings us under
+        first_keep = jnp.argmax(keep_level)
+        keep_level = jnp.arange(counts.shape[0]) >= jnp.where(
+            jnp.any(keep_level), first_keep, counts.shape[0] - 1)
+    out = []
+    for i, fl in enumerate(lists):
+        out.append(fl._replace(valid=fl.valid & keep_level[i]))
+    return out
+
+
+def _expand_orientations(fl: FeatureList, thetas: jnp.ndarray,
+                         ovalid: jnp.ndarray, ecap: int) -> FeatureList:
+    """Duplicate keypoints per orientation into a fixed-capacity list.
+
+    Device-side equivalent of ReshapeFeatureListCPU (PyramidCU.cpp:720-924).
+    Order: keypoint-major, orientations by descending vote - same as the
+    reference's expansion order.
+    """
+    K = fl.capacity
+    rep = lambda a: jnp.repeat(a, 4)
+    mask = (ovalid & fl.valid[:, None]).reshape(-1)
+    cnt, (xo, yo, so, to, ro, fo), slot_valid = compact_mask(
+        mask,
+        [rep(fl.x), rep(fl.y), rep(fl.sigma), thetas.reshape(-1),
+         rep(fl.response), rep(fl.ftype)],
+        ecap,
+    )
+    return FeatureList(x=xo, y=yo, sigma=so, theta=to, response=ro, ftype=fo,
+                       valid=slot_valid)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> FeatureTable:
+    """Full detect+describe for one grayscale image (static shapes).
+
+    img: (H, W) f32 in [0, 1].
+    Returns a FeatureTable in image coordinates (reference download frame:
+    x_img = 2^octave * (x_level - 0.5) + offset, orientation mirrored -
+    PyramidCU.cpp:890-903).
+    """
+    p = cfg.scale_params()
+    sigma_step = p.sigmak
+
+    octaves = _build_pyramid(img, plan, cfg)
+
+    all_lists: List[FeatureList] = []
+    grads: List[jnp.ndarray] = []
+    rots: List[jnp.ndarray] = []
+    idx = 0
+    for o, gauss_oct in enumerate(octaves):
+        maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
+        for li, kl in enumerate(p.key_levels):
+            sigma_l = p.key_level_sigma(kl)
+            fl = compact_level_keypoints(maps[li], sigma_l, sigma_step,
+                                         plan.level_caps[idx])
+            all_lists.append(fl)
+            grads.append(grad[kl])
+            rots.append(rot[kl])
+            idx += 1
+
+    # ---- truncation (reference LimitFeatureCount, SiftPyramid.cpp:201-278)
+    if cfg.feature_count_threshold > 0:
+        if cfg.truncate_method == TRUNCATE_TOP_K:
+            all_lists = _apply_topk(all_lists, cfg.feature_count_threshold)
+        elif cfg.truncate_method == TRUNCATE_KEEP_LOWEST_LEVELS:
+            all_lists = _apply_level_truncation(
+                all_lists, cfg.feature_count_threshold, keep_lowest=True)
+        elif cfg.truncate_method == TRUNCATE_KEEP_HIGHEST_LEVELS:
+            all_lists = _apply_level_truncation(
+                all_lists, cfg.feature_count_threshold, keep_lowest=False)
+
+    # ---- orientations + expansion --------------------------------------------
+    s = p.num_scales
+    expanded: List[FeatureList] = []
+    for idx, fl in enumerate(all_lists):
+        o = idx // s
+        kl = p.key_levels[idx % s]
+        sigma_l = p.key_level_sigma(kl)
+        max_sigma = sigma_l * (sigma_step if cfg.subpixel else 1.0)
+        owin = 2 * int(math.ceil(
+            abs(max_sigma) * cfg.orientation_gaussian_factor
+            * cfg.orientation_window_factor + 1.0)) + 1
+
+        single = cfg.max_orientations <= 1 or cfg.fixed_orientation
+        ores = compute_orientations(
+            fl.x, fl.y, fl.sigma, fl.valid, grads[idx], rots[idx],
+            wsize=owin,
+            num_orientations=0 if cfg.fixed_orientation else cfg.max_orientations,
+            gaussian_factor=cfg.orientation_gaussian_factor,
+            window_factor=cfg.orientation_window_factor,
+            peak_threshold=cfg.multi_orientation_threshold,
+            half_sift=cfg.half_sift,
+            single=single,
+        )
+        if cfg.fixed_orientation:
+            fl = fl._replace(theta=jnp.zeros_like(fl.theta))
+            expanded.append(fl)
+        elif single:
+            fl = fl._replace(theta=ores.thetas[:, 0])
+            expanded.append(fl)
+        else:
+            expanded.append(_expand_orientations(
+                fl, ores.thetas, ores.valid, plan.expanded_caps[idx]))
+
+    # ---- descriptors ----------------------------------------------------------
+    descs: List[jnp.ndarray] = []
+    for idx, fl in enumerate(expanded):
+        if not cfg.compute_descriptors:
+            descs.append(jnp.zeros((fl.capacity, cfg.descriptor_dim),
+                                   jnp.float32))
+            continue
+        kl = p.key_levels[idx % s]
+        sigma_l = p.key_level_sigma(kl)
+        max_sigma = sigma_l * (sigma_step if cfg.subpixel else 1.0)
+        dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
+        d = compute_descriptors(
+            fl.x, fl.y, fl.sigma, fl.theta, fl.valid,
+            grads[idx], rots[idx], wsize=dwin,
+            window_factor=cfg.descriptor_window_factor,
+            half_sift=cfg.half_sift,
+            normalize=cfg.normalized_sift,
+        )
+        descs.append(d)
+
+    # ---- convert to image coordinates and concatenate -------------------------
+    offset = 0.0 if cfg.lowe_origin else 0.5
+    xs, ys, ss, ts, rs, ls, fts, vs = [], [], [], [], [], [], [], []
+    for idx, fl in enumerate(expanded):
+        o = idx // s
+        oss = float(1 << (o + cfg.first_octave)) if (o + cfg.first_octave) >= 0 \
+            else 1.0 / (1 << -(o + cfg.first_octave))
+        xs.append(oss * (fl.x - 0.5) + offset)
+        ys.append(oss * (fl.y - 0.5) + offset)
+        ss.append(oss * fl.sigma)
+        ts.append(jnp.where(fl.valid,
+                            jnp.mod(TWO_PI - fl.theta, TWO_PI), 0.0))
+        rs.append(fl.response)
+        ls.append(jnp.full((fl.capacity,), idx, jnp.int32))
+        fts.append(fl.ftype)
+        vs.append(fl.valid)
+
+    return FeatureTable(
+        x=jnp.concatenate(xs), y=jnp.concatenate(ys),
+        sigma=jnp.concatenate(ss), theta=jnp.concatenate(ts),
+        response=jnp.concatenate(rs), level=jnp.concatenate(ls),
+        ftype=jnp.concatenate(fts), valid=jnp.concatenate(vs),
+        desc=jnp.concatenate(descs, axis=0),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def run_pipeline_jit(img, plan: PipelinePlan, cfg_key) -> FeatureTable:
+    """Jitted wrapper keyed by the static plan + a hashable config."""
+    return run_pipeline(img, plan, cfg_key.cfg)
+
+
+class _CfgKey:
+    """Hashable wrapper so SiftConfig (mutable dataclass) can be static."""
+
+    def __init__(self, cfg: SiftConfig):
+        self.cfg = cfg
+        self._key = tuple(sorted(
+            (k, v) for k, v in cfg.__dict__.items()
+        ))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _CfgKey) and self._key == other._key
+
+
+def detect_and_describe(img_np: np.ndarray, cfg: SiftConfig) -> FeatureTable:
+    """Host entry: NumPy image (H, W) or (H, W, C), any uint8/float dtype."""
+    from .ops.resize import rgb_to_gray, to_float
+
+    arr = jnp.asarray(img_np)
+    arr = to_float(arr)
+    if arr.ndim == 3:
+        arr = rgb_to_gray(arr)
+    if cfg.first_octave > 0:
+        # reference: SampleImageD of the input before octave 0
+        arr = arr[:: 1 << cfg.first_octave, :: 1 << cfg.first_octave]
+    h, w = arr.shape
+    plan = make_plan(h, w, cfg)
+    return run_pipeline_jit(arr, plan, _CfgKey(cfg))
