@@ -35,7 +35,7 @@ def gray_small(image_640):
     from hessgpu_tpu.ops.resize import rgb_to_gray, to_float
     import jax.numpy as jnp
     g = rgb_to_gray(to_float(jnp.asarray(image_640)))
-    return np.asarray(g)[:160, :200]
+    return np.asarray(g)[200:360, 280:480]  # textured region, not sky
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,120 @@
+"""End-to-end pipeline tests on a real image crop."""
+
+import numpy as np
+import pytest
+
+from hessgpu_tpu import HessianSift, SiftConfig
+from hessgpu_tpu.config import TRUNCATE_TOP_K
+
+
+@pytest.fixture(scope="module")
+def feats_small(gray_small):
+    sift = HessianSift(SiftConfig())
+    return sift.run(gray_small)
+
+
+def test_pipeline_finds_features(feats_small):
+    n = feats_small["x"].shape[0]
+    assert n > 20, f"only {n} features on a 160x200 real-image crop"
+
+
+def test_coordinates_in_bounds(feats_small, gray_small):
+    h, w = gray_small.shape
+    assert (feats_small["x"] >= 0).all() and (feats_small["x"] <= w).all()
+    assert (feats_small["y"] >= 0).all() and (feats_small["y"] <= h).all()
+    assert (feats_small["sigma"] > 0).all()
+    assert (feats_small["theta"] >= 0).all() and \
+        (feats_small["theta"] <= 2 * np.pi).all()
+    assert set(np.unique(feats_small["ftype"])) <= {0, 1, 2}
+
+
+def test_descriptors_normalized(feats_small):
+    norms = np.linalg.norm(feats_small["desc"], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_determinism(gray_small):
+    """The reference only checked count stability across reruns
+    (speed.cpp:121-122); we require exact equality."""
+    sift = HessianSift(SiftConfig())
+    a = sift.run(gray_small)
+    b = sift.run(gray_small)
+    for k in ("x", "y", "sigma", "theta", "response", "level", "ftype"):
+        np.testing.assert_array_equal(a[k], b[k])
+    np.testing.assert_array_equal(a["desc"], b["desc"])
+
+
+def test_topk_truncation(gray_small):
+    cfg = SiftConfig(truncate_method=TRUNCATE_TOP_K,
+                     feature_count_threshold=32)
+    sift = HessianSift(cfg)
+    feats = sift.run(gray_small)
+    # top-K runs before multi-orientation expansion, so the final count can
+    # exceed K slightly (reference behavior: SelectTopK precedes
+    # ReshapeFeatureListCPU, SiftPyramid.cpp:113-147)
+    n = feats["x"].shape[0]
+    assert 0 < n <= 2 * 32
+    # distinct locations (dedup by x,y) is at most K
+    locs = {(round(float(x), 3), round(float(y), 3))
+            for x, y in zip(feats["x"], feats["y"])}
+    assert len(locs) <= 32
+
+
+def test_topk_keeps_strongest(gray_small):
+    full = HessianSift(SiftConfig()).run(gray_small)
+    k = 16
+    topk = HessianSift(SiftConfig(truncate_method=TRUNCATE_TOP_K,
+                                  feature_count_threshold=k)).run(gray_small)
+    # every kept distinct response must be >= the k-th largest |response|
+    absr = np.sort(np.abs(np.unique(full["response"])))[::-1]
+    thr = absr[min(k, len(absr)) - 1]
+    assert (np.abs(topk["response"]) >= thr - 1e-6).all()
+
+
+def test_saddle_points_on_checkerboard():
+    """demo_checkerboard.bat: tiny threshold -> saddle points detected."""
+    from hessgpu_tpu.io_image import load_image
+    img = load_image("/root/reference/data/checkerboard.png")
+    cfg = SiftConfig(threshold=1e-6)
+    feats = HessianSift(cfg).run(img)
+    types = set(np.unique(feats["ftype"]))
+    assert 2 in types, "checkerboard must produce saddle points"
+
+
+def test_multi_orientation_duplicates(gray_small):
+    """Some keypoints should get multiple orientations (-m 2 default)."""
+    feats = HessianSift(SiftConfig()).run(gray_small)
+    locs = [(round(float(x), 3), round(float(y), 3))
+            for x, y in zip(feats["x"], feats["y"])]
+    assert len(locs) > len(set(locs)), "expected multi-orientation duplicates"
+
+
+def test_single_orientation_mode(gray_small):
+    feats = HessianSift(SiftConfig(max_orientations=1)).run(gray_small)
+    locs = [(round(float(x), 3), round(float(y), 3))
+            for x, y in zip(feats["x"], feats["y"])]
+    assert len(locs) == len(set(locs))
+
+
+def test_formats_roundtrip(tmp_path, feats_small):
+    from hessgpu_tpu.formats import (load_sift_text, save_sift_binary,
+                                     save_sift_text, save_sift_vlfeat)
+    p = str(tmp_path / "out.sift")
+    save_sift_text(p, feats_small)
+    back = load_sift_text(p)
+    assert back["x"].shape[0] == feats_small["x"].shape[0]
+    np.testing.assert_allclose(back["x"], feats_small["x"], atol=0.01)
+    np.testing.assert_allclose(back["sigma"], feats_small["sigma"], atol=0.001)
+    np.testing.assert_array_equal(back["ftype"], feats_small["ftype"])
+    # quantized descriptors round-trip within 1/1024
+    np.testing.assert_allclose(back["desc"], feats_small["desc"],
+                               atol=0.5 / 512)
+    # binary formats at least serialize without error and with the right size
+    pb = str(tmp_path / "out.siftb")
+    save_sift_binary(pb, feats_small)
+    import os
+    n = feats_small["x"].shape[0]
+    assert os.path.getsize(pb) == 8 + n * (4 * 4 + 4 + 4 + 128 * 4)
+    pv = str(tmp_path / "out.vlf")
+    save_sift_vlfeat(pv, feats_small, image_size=(160, 200))
+    assert os.path.getsize(pv) == 20 + n * (3 * 4 + 4 * 4 + 4 + 4 + 128)
