@@ -1,0 +1,67 @@
+"""Headline benchmark: single-chip 640x480 detect+describe frames/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's best published overall speed,
+14.3 Hz on a GeForce 8800 GTX (doc/statistics.pdf Experiment #1 - the only
+end-to-end frames/s the reference repo publishes; see BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_HZ = 14.3  # doc/statistics.pdf Exp #1, new packed, ~3082 features
+BATCH = 4
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hessgpu_tpu.config import SiftConfig
+    from hessgpu_tpu.io_image import load_image
+    from hessgpu_tpu.ops.resize import rgb_to_gray, to_float
+    from hessgpu_tpu.parallel.batch import _batched_pipeline
+    from hessgpu_tpu.pyramid import _CfgKey, make_plan
+
+    img = load_image("/root/reference/data/640-1.jpg")
+    g = np.asarray(rgb_to_gray(to_float(jnp.asarray(img))), np.float32)
+    h, w = g.shape
+
+    cfg = SiftConfig()
+    plan = make_plan(h, w, cfg)
+    ckey = _CfgKey(cfg)
+
+    batch = jnp.asarray(np.stack([g] * BATCH))
+    dev = jax.devices()[0]
+    batch = jax.device_put(batch, dev)
+
+    # compile + warmup
+    for _ in range(WARMUP):
+        table = _batched_pipeline(batch, plan, ckey)
+        jax.block_until_ready(table.valid)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        table = _batched_pipeline(batch, plan, ckey)
+    jax.block_until_ready(table.valid)
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    n_feats = int(np.asarray(table.count()).mean())
+    print(json.dumps({
+        "metric": "640x480_detect_describe_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_HZ, 2),
+        "features_per_frame": n_feats,
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""hess: batch detect+describe CLI.
+
+TPU port of the reference `hess` tool (src/HessGPU/hessgpucmd.cpp):
+  hess -i img1.jpg img2.jpg ... [-o out.sift] [sift options]
+  hess -il list.txt [sift options]
+  hess -time: write per-stage CSV to <img>.timings (hessgpucmd.cpp:84-192)
+  hess -speed: average 10 reruns and report Hz (hessgpucmd.cpp:246-300)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List
+
+
+def parse_cli(argv: List[str]):
+    """Split hess-specific options from detector options."""
+    images: List[str] = []
+    out_path = None
+    do_time = False
+    do_speed = False
+    rest: List[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                images.append(argv[i])
+                i += 1
+            continue
+        elif a == "-il":
+            i += 1
+            list_path = argv[i]
+            base = os.path.dirname(os.path.abspath(list_path))
+            with open(list_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        images.append(line if os.path.isabs(line)
+                                      else os.path.join(base, line))
+        elif a == "-o":
+            i += 1
+            out_path = argv[i]
+        elif a == "-time":
+            do_time = True
+        elif a == "-speed":
+            do_speed = True
+        else:
+            rest.append(a)
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                # keep option values attached
+                rest.append(argv[i + 1])
+                i += 1
+        i += 1
+    return images, out_path, do_time, do_speed, rest
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    from hessgpu_tpu import HessianSift, SiftConfig
+
+    images, out_path, do_time, do_speed, rest = parse_cli(argv)
+    if not images:
+        print("usage: hess (-i <images...> | -il <list>) [-o out.sift] "
+              "[-time] [-speed] [sift options]", file=sys.stderr)
+        return 1
+
+    cfg = SiftConfig.parse_args(rest)
+    sift = HessianSift(cfg)
+
+    for idx, img_path in enumerate(images):
+        if do_speed:
+            # hessgpucmd -speed: average over 10 runs (hessgpucmd.cpp:246-300)
+            sift.run(img_path)  # warmup/compile
+            n_runs = 10
+            t0 = time.perf_counter()
+            for _ in range(n_runs):
+                feats = sift.run(img_path)
+            dt = time.perf_counter() - t0
+            print(f"{img_path}: {feats['x'].shape[0]} features, "
+                  f"{n_runs / dt:.2f} Hz ({1000 * dt / n_runs:.1f} ms/img)")
+        else:
+            feats = sift.run(img_path)
+            if cfg.verbose:
+                print(f"{img_path}: #Features: {feats['x'].shape[0]}")
+
+        target = out_path if (out_path and len(images) == 1) else None
+        if target is None:
+            root, _ = os.path.splitext(img_path)
+            target = root + ".sift"
+        sift.save_sift(target)
+
+        if do_time:
+            with open(os.path.splitext(img_path)[0] + ".timings", "w") as f:
+                f.write(sift.timer.csv())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
