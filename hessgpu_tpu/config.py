@@ -54,6 +54,12 @@ class SiftConfig:
     min_dim: int = 16                    # -mind
     max_feature_percent: float = 0.005
     max_level_features: int = 4096
+    # Static capacity of the global (cross-level) feature table. The
+    # expensive per-keypoint stages run over this compacted table, so work
+    # scales with real feature counts, not per-level capacity.
+    global_feature_cap: int = 4096
+    # Expansion headroom for multi-orientation duplication (x global cap).
+    expansion_factor: float = 1.5
     truncate_method: int = TRUNCATE_NONE
     feature_count_threshold: int = -1    # -tc*/-topk value
 

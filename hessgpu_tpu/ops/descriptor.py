@@ -152,6 +152,55 @@ def compute_descriptors(
     return desc
 
 
+def compute_descriptors_flat(
+    x, y, sigma, theta, kvalid, level_id,
+    flat_grad: jnp.ndarray, flat_rot: jnp.ndarray,
+    level_base, level_h, level_w,
+    wsize: int,
+    window_factor: float = 3.0,
+    half_sift: bool = False,
+    normalize: bool = True,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Cross-level descriptor pass: one call for ALL keypoints.
+
+    Same math as compute_descriptors, gathering each keypoint's window from
+    the flattened pyramid via its level geometry. Returns (G, 128)/(G, 64).
+    """
+    from .gather import window_gather
+
+    K = x.shape[0]
+
+    def per_kp(kx, ky, ks, kt, lid):
+        base = level_base[lid]
+        h = level_h[lid]
+        w = level_w[lid]
+        gwin, y0, x0 = window_gather(flat_grad, base, h, w, ky, kx, wsize)
+        rwin, _, _ = window_gather(flat_rot, base, h, w, ky, kx, wsize)
+        return _descriptor_one(kx, ky, ks, kt, gwin, rwin,
+                               x0.astype(jnp.float32), y0.astype(jnp.float32),
+                               w.astype(jnp.float32), h.astype(jnp.float32),
+                               window_factor)
+
+    if K <= chunk:
+        desc = jax.vmap(per_kp)(x, y, sigma, theta, level_id)
+    else:
+        pad = (-K) % chunk
+        xs = [jnp.pad(a, (0, pad)) for a in (x, y, sigma, theta)]
+        xs.append(jnp.pad(level_id, (0, pad)))
+        xs = [a.reshape(-1, chunk) for a in xs]
+        desc = jax.lax.map(lambda t: jax.vmap(per_kp)(*t), tuple(xs))
+        desc = desc.reshape(-1, 128)[:K]
+
+    desc = jnp.where(kvalid[:, None], desc, 0.0)
+    if half_sift:
+        d = desc.reshape(-1, 16, 8)
+        desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+    if normalize:
+        desc = normalize_descriptors(desc, kvalid)
+    return desc
+
+
 def normalize_descriptors(desc: jnp.ndarray, kvalid=None) -> jnp.ndarray:
     """L2-normalize -> clamp at 0.2 -> renormalize (ProgramCU.cu:1983-2008)."""
     eps = 1e-12

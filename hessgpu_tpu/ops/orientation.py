@@ -172,3 +172,51 @@ def compute_orientations(
     thetas, valid = jax.vmap(per_kp)(x, y, sigma)
     valid = valid & kvalid[:, None]
     return OrientationResult(thetas=thetas, valid=valid)
+
+
+def compute_orientations_flat(
+    x, y, sigma, kvalid, level_id,
+    flat_grad: jnp.ndarray, flat_rot: jnp.ndarray,
+    level_base, level_h, level_w,
+    wsize: int,
+    num_orientations: int = 2,
+    gaussian_factor: float = 1.5,
+    window_factor: float = 2.0,
+    peak_threshold: float = 0.8,
+    half_sift: bool = False,
+    max_peaks: int = 4,
+    single: bool = False,
+) -> OrientationResult:
+    """Cross-level orientation pass: one call for ALL keypoints.
+
+    x, y, sigma, kvalid, level_id: (G,) global compacted keypoint table
+    (level coordinates). flat_grad/flat_rot: flattened pyramid buffers;
+    level_base/h/w: (L,) per-level geometry (i32).
+    """
+    from .gather import window_gather
+
+    def per_kp(kx, ky, ks, lid):
+        base = level_base[lid]
+        h = level_h[lid]
+        w = level_w[lid]
+        gwin, y0, x0 = window_gather(flat_grad, base, h, w, ky, kx, wsize)
+        rwin, _, _ = window_gather(flat_rot, base, h, w, ky, kx, wsize)
+        votes = _histogram36(kx, ky, ks, gwin, rwin,
+                             x0.astype(jnp.float32), y0.astype(jnp.float32),
+                             wsize, w.astype(jnp.float32),
+                             h.astype(jnp.float32),
+                             gaussian_factor, window_factor)
+        votes = _smooth6(votes)
+        if half_sift:
+            votes = votes.at[:18].add(votes[18:]).at[18:].set(0.0)
+        if single or num_orientations <= 1:
+            theta = _single_peak(votes)
+            thetas = jnp.stack([theta, 0.0, 0.0, 0.0])
+            valid = jnp.array([True, False, False, False])
+        else:
+            thetas, valid = _multi_peaks(votes, peak_threshold, max_peaks)
+        return thetas, valid
+
+    thetas, valid = jax.vmap(per_kp)(x, y, sigma, level_id)
+    valid = valid & kvalid[:, None]
+    return OrientationResult(thetas=thetas, valid=valid)

@@ -31,8 +31,9 @@ from .config import (SiftConfig, TRUNCATE_KEEP_HIGHEST_LEVELS,
 from .features import FeatureTable
 from .ops import gaussian, hessian, keypoint, resize
 from .ops.compaction import FeatureList, compact_mask, compact_level_keypoints
-from .ops.descriptor import compute_descriptors, descriptor_window_size
-from .ops.orientation import compute_orientations
+from .ops.descriptor import (compute_descriptors, compute_descriptors_flat,
+                             descriptor_window_size)
+from .ops.orientation import compute_orientations, compute_orientations_flat
 
 TWO_PI = 2.0 * math.pi
 
@@ -211,6 +212,87 @@ def _expand_orientations(fl: FeatureList, thetas: jnp.ndarray,
 # full pipeline
 # ---------------------------------------------------------------------------
 
+class GlobalTable(NamedTuple):
+    """Cross-level compacted keypoint table (level coordinates)."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    sigma: jnp.ndarray
+    theta: jnp.ndarray
+    response: jnp.ndarray
+    ftype: jnp.ndarray
+    level_id: jnp.ndarray   # i32 flattened (octave * s + key_level - 1)
+    valid: jnp.ndarray
+
+    def count(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def _globalize(lists: List[FeatureList], cap: int) -> GlobalTable:
+    """Concatenate per-level lists and compact into one global table.
+
+    Keeps level-major order (= the reference's output order)."""
+    def cat(field):
+        return jnp.concatenate([getattr(fl, field) for fl in lists])
+
+    lid = jnp.concatenate([
+        jnp.full((fl.capacity,), i, jnp.int32) for i, fl in enumerate(lists)
+    ])
+    valid = cat("valid")
+    cnt, outs, slot_valid = compact_mask(
+        valid,
+        [cat("x"), cat("y"), cat("sigma"), cat("theta"), cat("response"),
+         cat("ftype"), lid],
+        cap,
+    )
+    x, y, s, t, r, ft, lido = outs
+    return GlobalTable(x=x, y=y, sigma=s, theta=t, response=r, ftype=ft,
+                       level_id=lido, valid=slot_valid)
+
+
+def _recompact(table: GlobalTable, keep: jnp.ndarray, cap: int) -> GlobalTable:
+    cnt, outs, slot_valid = compact_mask(
+        keep & table.valid,
+        [table.x, table.y, table.sigma, table.theta, table.response,
+         table.ftype, table.level_id],
+        cap,
+    )
+    x, y, s, t, r, ft, lid = outs
+    return GlobalTable(x=x, y=y, sigma=s, theta=t, response=r, ftype=ft,
+                       level_id=lid, valid=slot_valid)
+
+
+def _topk_mask(table: GlobalTable, k: int) -> jnp.ndarray:
+    """Selection mask for the k largest |response| (ties by global order).
+
+    Behavior-equivalent to PyramidCU::SelectTopK (PyramidCU.cpp:1881-1989)."""
+    absr = jnp.where(table.valid, jnp.abs(table.response), -jnp.inf)
+    kk = min(k, absr.shape[0])
+    vk = jax.lax.top_k(absr, kk)[0][-1]
+    above = absr > vk
+    n_above = jnp.sum(above.astype(jnp.int32))
+    ties = absr == vk
+    tie_rank = jnp.cumsum(ties.astype(jnp.int32))
+    return above | (ties & (tie_rank <= (kk - n_above)))
+
+
+def _level_trunc_mask(table: GlobalTable, k: int, num_levels: int,
+                      keep_lowest: bool) -> jnp.ndarray:
+    """-tc1/-tc2 level-dropping masks (SiftPyramid.cpp:224-277)."""
+    ones = table.valid.astype(jnp.int32)
+    counts = jax.ops.segment_sum(ones, table.level_id, num_levels)
+    if keep_lowest:
+        cum = jnp.cumsum(counts)
+        keep_level = (cum - counts) < k
+    else:
+        total = jnp.sum(counts)
+        suffix = total - (jnp.cumsum(counts) - counts)
+        keepable = suffix <= k
+        first_keep = jnp.argmax(keepable)
+        first_keep = jnp.where(jnp.any(keepable), first_keep, num_levels - 1)
+        keep_level = jnp.arange(num_levels) >= first_keep
+    return keep_level[table.level_id]
+
+
 def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> FeatureTable:
     """Full detect+describe for one grayscale image (static shapes).
 
@@ -221,9 +303,11 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     """
     p = cfg.scale_params()
     sigma_step = p.sigmak
+    s = p.num_scales
 
     octaves = _build_pyramid(img, plan, cfg)
 
+    # ---- detection + per-level compaction (cheap scatters) -------------------
     all_lists: List[FeatureList] = []
     grads: List[jnp.ndarray] = []
     rots: List[jnp.ndarray] = []
@@ -239,93 +323,104 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
             rots.append(rot[kl])
             idx += 1
 
+    # ---- global table + flattened pyramid buffers -----------------------------
+    G = min(cfg.global_feature_cap, sum(plan.level_caps))
+    table = _globalize(all_lists, G)
+
+    flat_grad = jnp.concatenate([g.reshape(-1) for g in grads])
+    flat_rot = jnp.concatenate([r.reshape(-1) for r in rots])
+    sizes = [g.shape for g in grads]
+    bases = np.cumsum([0] + [h * w for (h, w) in sizes[:-1]])
+    level_base = jnp.asarray(bases, jnp.int32)
+    level_h = jnp.asarray([h for (h, _) in sizes], jnp.int32)
+    level_w = jnp.asarray([w for (_, w) in sizes], jnp.int32)
+
     # ---- truncation (reference LimitFeatureCount, SiftPyramid.cpp:201-278)
     if cfg.feature_count_threshold > 0:
+        k = cfg.feature_count_threshold
         if cfg.truncate_method == TRUNCATE_TOP_K:
-            all_lists = _apply_topk(all_lists, cfg.feature_count_threshold)
+            table = _recompact(table, _topk_mask(table, k), G)
         elif cfg.truncate_method == TRUNCATE_KEEP_LOWEST_LEVELS:
-            all_lists = _apply_level_truncation(
-                all_lists, cfg.feature_count_threshold, keep_lowest=True)
+            table = _recompact(
+                table, _level_trunc_mask(table, k, len(all_lists), True), G)
         elif cfg.truncate_method == TRUNCATE_KEEP_HIGHEST_LEVELS:
-            all_lists = _apply_level_truncation(
-                all_lists, cfg.feature_count_threshold, keep_lowest=False)
+            table = _recompact(
+                table, _level_trunc_mask(table, k, len(all_lists), False), G)
 
-    # ---- orientations + expansion --------------------------------------------
-    s = p.num_scales
-    expanded: List[FeatureList] = []
-    for idx, fl in enumerate(all_lists):
-        o = idx // s
-        kl = p.key_levels[idx % s]
-        sigma_l = p.key_level_sigma(kl)
-        max_sigma = sigma_l * (sigma_step if cfg.subpixel else 1.0)
-        owin = 2 * int(math.ceil(
-            abs(max_sigma) * cfg.orientation_gaussian_factor
-            * cfg.orientation_window_factor + 1.0)) + 1
+    # ---- orientations (one pass over all levels) ------------------------------
+    max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
+        (sigma_step if cfg.subpixel else 1.0)
+    owin = 2 * int(math.ceil(
+        abs(max_sigma) * cfg.orientation_gaussian_factor
+        * cfg.orientation_window_factor + 1.0)) + 1
+    owin = min(owin, plan.octave_shapes[-1][0], plan.octave_shapes[-1][1])
 
-        single = cfg.max_orientations <= 1 or cfg.fixed_orientation
-        ores = compute_orientations(
-            fl.x, fl.y, fl.sigma, fl.valid, grads[idx], rots[idx],
+    single = cfg.max_orientations <= 1 or cfg.fixed_orientation
+    if cfg.fixed_orientation:
+        table = table._replace(theta=jnp.zeros_like(table.theta))
+        G_exp = G
+    else:
+        ores = compute_orientations_flat(
+            table.x, table.y, table.sigma, table.valid, table.level_id,
+            flat_grad, flat_rot, level_base, level_h, level_w,
             wsize=owin,
-            num_orientations=0 if cfg.fixed_orientation else cfg.max_orientations,
+            num_orientations=cfg.max_orientations,
             gaussian_factor=cfg.orientation_gaussian_factor,
             window_factor=cfg.orientation_window_factor,
             peak_threshold=cfg.multi_orientation_threshold,
             half_sift=cfg.half_sift,
             single=single,
         )
-        if cfg.fixed_orientation:
-            fl = fl._replace(theta=jnp.zeros_like(fl.theta))
-            expanded.append(fl)
-        elif single:
-            fl = fl._replace(theta=ores.thetas[:, 0])
-            expanded.append(fl)
+        if single:
+            table = table._replace(theta=ores.thetas[:, 0])
+            G_exp = G
         else:
-            expanded.append(_expand_orientations(
-                fl, ores.thetas, ores.valid, plan.expanded_caps[idx]))
+            G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
+            mask = (ores.valid & table.valid[:, None]).reshape(-1)
+            rep = lambda a: jnp.repeat(a, 4)
+            cnt, outs, slot_valid = compact_mask(
+                mask,
+                [rep(table.x), rep(table.y), rep(table.sigma),
+                 ores.thetas.reshape(-1), rep(table.response),
+                 rep(table.ftype), rep(table.level_id)],
+                G_exp,
+            )
+            x, y, sg, th, r, ft, lid = outs
+            table = GlobalTable(x=x, y=y, sigma=sg, theta=th, response=r,
+                                ftype=ft, level_id=lid, valid=slot_valid)
 
-    # ---- descriptors ----------------------------------------------------------
-    descs: List[jnp.ndarray] = []
-    for idx, fl in enumerate(expanded):
-        if not cfg.compute_descriptors:
-            descs.append(jnp.zeros((fl.capacity, cfg.descriptor_dim),
-                                   jnp.float32))
-            continue
-        kl = p.key_levels[idx % s]
-        sigma_l = p.key_level_sigma(kl)
-        max_sigma = sigma_l * (sigma_step if cfg.subpixel else 1.0)
+    # ---- descriptors (one pass over all levels) -------------------------------
+    if cfg.compute_descriptors:
         dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
-        d = compute_descriptors(
-            fl.x, fl.y, fl.sigma, fl.theta, fl.valid,
-            grads[idx], rots[idx], wsize=dwin,
+        dwin = min(dwin, plan.octave_shapes[-1][0], plan.octave_shapes[-1][1])
+        desc = compute_descriptors_flat(
+            table.x, table.y, table.sigma, table.theta, table.valid,
+            table.level_id, flat_grad, flat_rot,
+            level_base, level_h, level_w,
+            wsize=dwin,
             window_factor=cfg.descriptor_window_factor,
             half_sift=cfg.half_sift,
             normalize=cfg.normalized_sift,
         )
-        descs.append(d)
+    else:
+        desc = jnp.zeros((G_exp, cfg.descriptor_dim), jnp.float32)
 
-    # ---- convert to image coordinates and concatenate -------------------------
+    # ---- convert to image coordinates -----------------------------------------
     offset = 0.0 if cfg.lowe_origin else 0.5
-    xs, ys, ss, ts, rs, ls, fts, vs = [], [], [], [], [], [], [], []
-    for idx, fl in enumerate(expanded):
-        o = idx // s
-        oss = float(1 << (o + cfg.first_octave)) if (o + cfg.first_octave) >= 0 \
-            else 1.0 / (1 << -(o + cfg.first_octave))
-        xs.append(oss * (fl.x - 0.5) + offset)
-        ys.append(oss * (fl.y - 0.5) + offset)
-        ss.append(oss * fl.sigma)
-        ts.append(jnp.where(fl.valid,
-                            jnp.mod(TWO_PI - fl.theta, TWO_PI), 0.0))
-        rs.append(fl.response)
-        ls.append(jnp.full((fl.capacity,), idx, jnp.int32))
-        fts.append(fl.ftype)
-        vs.append(fl.valid)
+    octave_id = table.level_id // s
+    oss = jnp.exp2(octave_id.astype(jnp.float32) + cfg.first_octave)
 
     return FeatureTable(
-        x=jnp.concatenate(xs), y=jnp.concatenate(ys),
-        sigma=jnp.concatenate(ss), theta=jnp.concatenate(ts),
-        response=jnp.concatenate(rs), level=jnp.concatenate(ls),
-        ftype=jnp.concatenate(fts), valid=jnp.concatenate(vs),
-        desc=jnp.concatenate(descs, axis=0),
+        x=oss * (table.x - 0.5) + offset,
+        y=oss * (table.y - 0.5) + offset,
+        sigma=oss * table.sigma,
+        theta=jnp.where(table.valid,
+                        jnp.mod(TWO_PI - table.theta, TWO_PI), 0.0),
+        response=table.response,
+        level=table.level_id,
+        ftype=table.ftype,
+        valid=table.valid,
+        desc=desc,
     )
 
 
