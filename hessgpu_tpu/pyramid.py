@@ -353,7 +353,6 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     owin = 2 * int(math.ceil(
         abs(max_sigma) * cfg.orientation_gaussian_factor
         * cfg.orientation_window_factor + 1.0)) + 1
-    owin = min(owin, plan.octave_shapes[-1][0], plan.octave_shapes[-1][1])
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
     if cfg.fixed_orientation:
@@ -392,7 +391,6 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     # ---- descriptors (one pass over all levels) -------------------------------
     if cfg.compute_descriptors:
         dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
-        dwin = min(dwin, plan.octave_shapes[-1][0], plan.octave_shapes[-1][1])
         desc = compute_descriptors_flat(
             table.x, table.y, table.sigma, table.theta, table.valid,
             table.level_id, flat_grad, flat_rot,

@@ -36,10 +36,8 @@ def test_exact_match_found(rng):
 
 def test_ratio_test_rejects_ambiguous(rng):
     base = _unit_desc(rng, 1)[0]
-    # two nearly identical targets -> ambiguous, ratio test must reject
-    d2 = np.stack([base, base + rng.randn(128) * 1e-4])
-    d2 = np.abs(d2)
-    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    # two identical targets -> exact tie, ratio test must reject
+    d2 = np.stack([base, base])
     m = SiftMatcher()
     m.set_descriptors(0, base[None])
     m.set_descriptors(1, d2)
