@@ -1,0 +1,93 @@
+"""Incremental SfM on a synthetic scene with known trajectory."""
+
+import numpy as np
+import pytest
+
+from hessgpu_tpu.sfm.evaluate import ate_rmse, camera_centers, umeyama_alignment
+from hessgpu_tpu.sfm.incremental import reconstruct_sequence
+
+
+def _synthetic_sequence(rng, n_views=5, n_pts=300, noise=0.3):
+    """Render feature sets for a camera orbiting a point cloud.
+
+    Descriptors encode point identity (orthogonal-ish random codes) so
+    matching recovers ground-truth correspondences.
+    """
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    X = rng.rand(n_pts, 3) * np.array([6, 4, 3]) + np.array([-3, -2, 8])
+    # unique descriptor per 3D point
+    D = np.abs(rng.randn(n_pts, 128)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=1, keepdims=True)
+
+    feats = []
+    Rs, ts = [], []
+    from hessgpu_tpu.sfm.ba import so3_exp
+    import jax.numpy as jnp
+    for v in range(n_views):
+        ang = 0.04 * v
+        R = np.asarray(so3_exp(jnp.asarray([0.0, ang, 0.0])))
+        t = np.array([-0.6 * v, 0.02 * v, 0.0])
+        Rs.append(R)
+        ts.append(t)
+        xc = X @ R.T + t
+        z = xc[:, 2]
+        u = K[0, 0] * xc[:, 0] / z + K[0, 2]
+        w = K[1, 1] * xc[:, 1] / z + K[1, 2]
+        vis = (z > 0.5) & (u > 10) & (u < 630) & (w > 10) & (w < 470)
+        idx = np.nonzero(vis)[0]
+        feats.append({
+            "x": (u[idx] + noise * rng.randn(len(idx))).astype(np.float32),
+            "y": (w[idx] + noise * rng.randn(len(idx))).astype(np.float32),
+            "sigma": np.ones(len(idx), np.float32) * 2,
+            "theta": np.zeros(len(idx), np.float32),
+            "ftype": (idx % 3).astype(np.int32),  # consistent types per point
+            "desc": D[idx],
+        })
+    return K, Rs, ts, X, feats
+
+
+def test_umeyama_identity(rng):
+    pts = rng.rand(20, 3)
+    s, R, t = umeyama_alignment(pts, pts)
+    assert abs(s - 1) < 1e-9
+    np.testing.assert_allclose(R, np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(t, 0, atol=1e-9)
+
+
+def test_umeyama_recovers_similarity(rng):
+    from hessgpu_tpu.sfm.ba import so3_exp
+    import jax.numpy as jnp
+    src = rng.rand(30, 3)
+    Rg = np.asarray(so3_exp(jnp.asarray([0.2, -0.1, 0.3])))
+    dst = 2.5 * src @ Rg.T + np.array([1, 2, 3])
+    s, R, t = umeyama_alignment(src, dst)
+    assert abs(s - 2.5) < 1e-6
+    np.testing.assert_allclose(R, Rg, atol=1e-6)
+
+
+def test_incremental_sfm_low_ate(rng):
+    K, Rs, ts, X, feats = _synthetic_sequence(rng)
+    rec = reconstruct_sequence(feats, K, ba_every=2, verbose=False)
+    assert rec is not None
+    assert rec.num_cameras == len(feats)
+    est = camera_centers(rec.R, rec.t)
+    gt = camera_centers(Rs, ts)
+    err = ate_rmse(est, gt)
+    # trajectory scale is ~3 units; demand cm-level ATE
+    assert err < 0.05, f"ATE {err}"
+
+
+def test_incremental_sfm_reprojection(rng):
+    K, Rs, ts, X, feats = _synthetic_sequence(rng, noise=0.0)
+    rec = reconstruct_sequence(feats, K, ba_every=2)
+    assert rec is not None
+    # noise-free input -> near-zero reprojection residuals after BA
+    errs = []
+    for c, p, u, v in rec.obs:
+        if p >= rec.points.shape[0]:
+            continue
+        xc = rec.R[c] @ rec.points[p] + rec.t[c]
+        pu = K[0, 0] * xc[0] / xc[2] + K[0, 2]
+        pv = K[1, 1] * xc[1] / xc[2] + K[1, 2]
+        errs.append(np.hypot(pu - u, pv - v))
+    assert np.median(errs) < 0.1, np.median(errs)
