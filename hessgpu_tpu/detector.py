@@ -57,6 +57,7 @@ class HessianSift:
         with self.timer.stage("load"):
             img = load_image(image) if isinstance(image, str) else image
             img, ds = limit_working_size(img, self.config.max_dim)
+            self._last_image = img  # kept for keypoint-list re-entry
 
         with self.timer.stage("pipeline"):
             table = detect_and_describe(img, self.config)

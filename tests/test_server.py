@@ -1,0 +1,83 @@
+"""Native feature server: loopback client/server test.
+
+Mirrors the reference's `server_siftgpu -test` smoke test
+(server.cpp:31-60): spawn the C++ server as a local process, drive it over
+the reference-compatible protocol, verify detect + match results.
+"""
+
+import os
+import socket
+
+import numpy as np
+import pytest
+
+from hessgpu_tpu.parallel.client import RemoteSift
+
+SERVER_BIN = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "csrc", "build", "hess_server")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SERVER_BIN),
+    reason="native server not built (make -C csrc)")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # force CPU in the child
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + ":" + env.get("PYTHONPATH", "")
+    return env
+
+
+@pytest.fixture(scope="module")
+def remote():
+    r = RemoteSift(port=_free_port(), env=_cpu_env())
+    yield r
+    r.close(shutdown_server=True)
+
+
+def test_server_detect_roundtrip(remote, gray_small, tmp_path):
+    assert remote.initialize()
+    ok = remote.run_sift_data(gray_small)
+    assert ok
+    n = remote.get_feature_count()
+    assert n > 20
+    keys, desc = remote.get_feature_vector()
+    assert keys.shape == (n, 6)
+    assert desc.shape == (n, 128)
+    # descriptors are unit norm
+    np.testing.assert_allclose(np.linalg.norm(desc, axis=1), 1.0, atol=1e-3)
+    # matches the local pipeline
+    from hessgpu_tpu import HessianSift, SiftConfig
+    local = HessianSift(SiftConfig()).run(gray_small)
+    assert local["x"].shape[0] == n
+    np.testing.assert_allclose(keys[:, 0], local["x"], atol=1e-3)
+
+    # save via the server (fire-and-forget; a round-trip flushes it)
+    out = str(tmp_path / "remote.sift")
+    remote.save_sift(out)
+    remote.get_feature_count()
+    assert os.path.exists(out)
+
+
+def test_server_match(remote, gray_small):
+    remote.run_sift_data(gray_small)
+    _, desc = remote.get_feature_vector()
+    remote.match_set_descriptors(0, desc)
+    remote.match_set_descriptors(1, desc)
+    matches = remote.match()
+    # self-matching: every feature matches itself (up to duplicates from
+    # multi-orientation keypoints sharing descriptors)
+    n = desc.shape[0]
+    assert len(matches) > 0.8 * n
+    agree = (matches[:, 0] == matches[:, 1]).mean()
+    assert agree > 0.9
