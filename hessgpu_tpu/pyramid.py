@@ -353,34 +353,57 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     owin = 2 * int(math.ceil(
         abs(max_sigma) * cfg.orientation_gaussian_factor
         * cfg.orientation_window_factor + 1.0)) + 1
+    dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
+
+    # Pallas kernels on real accelerators; the jnp path on CPU (interpret
+    # mode over thousands of grid programs is impractically slow - the
+    # jnp/pallas equivalence is covered by tests/test_pallas_patch.py).
+    interpret = jax.default_backend() == "cpu"
+    use_pallas = cfg.use_pallas and not interpret
+    if use_pallas:
+        from .ops.pallas.patch import (build_padded_stack, descriptor_pallas,
+                                       orientation_pallas)
+        pad = (max(owin, dwin) - 1) // 2 + 2
+        g_stack, r_stack, plh, plw = build_padded_stack(grads, rots, pad)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
     if cfg.fixed_orientation:
         table = table._replace(theta=jnp.zeros_like(table.theta))
         G_exp = G
     else:
-        ores = compute_orientations_flat(
-            table.x, table.y, table.sigma, table.valid, table.level_id,
-            flat_grad, flat_rot, level_base, level_h, level_w,
-            wsize=owin,
-            num_orientations=cfg.max_orientations,
-            gaussian_factor=cfg.orientation_gaussian_factor,
-            window_factor=cfg.orientation_window_factor,
-            peak_threshold=cfg.multi_orientation_threshold,
-            half_sift=cfg.half_sift,
-            single=single,
-        )
+        if use_pallas:
+            o_thetas, o_valid = orientation_pallas(
+                table.x, table.y, table.sigma, table.valid, table.level_id,
+                g_stack, r_stack, plh, plw, wsize=owin, pad=pad,
+                gaussian_factor=cfg.orientation_gaussian_factor,
+                window_factor=cfg.orientation_window_factor,
+                peak_threshold=cfg.multi_orientation_threshold,
+                half_sift=cfg.half_sift, single=single,
+                interpret=interpret)
+        else:
+            ores = compute_orientations_flat(
+                table.x, table.y, table.sigma, table.valid, table.level_id,
+                flat_grad, flat_rot, level_base, level_h, level_w,
+                wsize=owin,
+                num_orientations=cfg.max_orientations,
+                gaussian_factor=cfg.orientation_gaussian_factor,
+                window_factor=cfg.orientation_window_factor,
+                peak_threshold=cfg.multi_orientation_threshold,
+                half_sift=cfg.half_sift,
+                single=single,
+            )
+            o_thetas, o_valid = ores.thetas, ores.valid
         if single:
-            table = table._replace(theta=ores.thetas[:, 0])
+            table = table._replace(theta=o_thetas[:, 0])
             G_exp = G
         else:
             G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
-            mask = (ores.valid & table.valid[:, None]).reshape(-1)
+            mask = (o_valid & table.valid[:, None]).reshape(-1)
             rep = lambda a: jnp.repeat(a, 4)
             cnt, outs, slot_valid = compact_mask(
                 mask,
                 [rep(table.x), rep(table.y), rep(table.sigma),
-                 ores.thetas.reshape(-1), rep(table.response),
+                 o_thetas.reshape(-1), rep(table.response),
                  rep(table.ftype), rep(table.level_id)],
                 G_exp,
             )
@@ -390,16 +413,30 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
 
     # ---- descriptors (one pass over all levels) -------------------------------
     if cfg.compute_descriptors:
-        dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
-        desc = compute_descriptors_flat(
-            table.x, table.y, table.sigma, table.theta, table.valid,
-            table.level_id, flat_grad, flat_rot,
-            level_base, level_h, level_w,
-            wsize=dwin,
-            window_factor=cfg.descriptor_window_factor,
-            half_sift=cfg.half_sift,
-            normalize=cfg.normalized_sift,
-        )
+        if use_pallas:
+            from .ops.descriptor import normalize_descriptors
+            desc = descriptor_pallas(
+                table.x, table.y, table.sigma, table.theta, table.valid,
+                table.level_id, g_stack, r_stack, plh, plw,
+                wsize=dwin, pad=pad,
+                window_factor=cfg.descriptor_window_factor,
+                interpret=interpret)
+            desc = jnp.where(table.valid[:, None], desc, 0.0)
+            if cfg.half_sift:
+                d = desc.reshape(-1, 16, 8)
+                desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+            if cfg.normalized_sift:
+                desc = normalize_descriptors(desc, table.valid)
+        else:
+            desc = compute_descriptors_flat(
+                table.x, table.y, table.sigma, table.theta, table.valid,
+                table.level_id, flat_grad, flat_rot,
+                level_base, level_h, level_w,
+                wsize=dwin,
+                window_factor=cfg.descriptor_window_factor,
+                half_sift=cfg.half_sift,
+                normalize=cfg.normalized_sift,
+            )
     else:
         desc = jnp.zeros((G_exp, cfg.descriptor_dim), jnp.float32)
 
