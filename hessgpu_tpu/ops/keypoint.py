@@ -204,10 +204,18 @@ def detect_keypoints_level(
     interior = (rows > 0) & (rows < h - 1) & (cols > 0) & (cols < w - 1)
     valid = extremum & interior
 
-    # --- blob type from the Gaussian image -------------------------------------
-    g_lxx = (_shift(gauss_cur, 0, -1) - 2.0 * gauss_cur + _shift(gauss_cur, 0, 1))
-    blob_type = jnp.where(g_lxx > 0, TYPE_DARK_BLOB, TYPE_BRIGHT_BLOB)
-    ftype = jnp.where(response < 0, TYPE_SADDLE, blob_type)
+    # --- blob type -------------------------------------------------------------
+    if hessian:
+        # saddle if response < 0, else dark/bright by Lxx of the Gaussian
+        # image (ProgramCU.cu:827-851)
+        g_lxx = (_shift(gauss_cur, 0, -1) - 2.0 * gauss_cur
+                 + _shift(gauss_cur, 0, 1))
+        blob_type = jnp.where(g_lxx > 0, TYPE_DARK_BLOB, TYPE_BRIGHT_BLOB)
+        ftype = jnp.where(response < 0, TYPE_SADDLE, blob_type)
+    else:
+        # DoG personality: maxima are bright blobs, minima dark
+        # (GPU_SIFT_MODIFIED branch, ProgramCU.cu:852-853)
+        ftype = jnp.where(is_max, TYPE_BRIGHT_BLOB, TYPE_DARK_BLOB)
     ftype = jnp.where(valid, ftype, TYPE_NONE).astype(jnp.int32)
 
     # Match the reference's half-precision response storage (the key map packs

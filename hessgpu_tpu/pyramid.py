@@ -123,6 +123,11 @@ def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
             subpixel=cfg.subpixel, hessian=(cfg.detector == "hessian"),
         )
         maps.append(m)
+    if cfg.detector != "hessian":
+        # DoG gradients come from gauss[1:], so grad[i] belongs to gauss
+        # level i+1; re-align so grad[kl] is the keypoint level's gradient
+        grad = jnp.concatenate([grad[:1], grad], axis=0)
+        rot = jnp.concatenate([rot[:1], rot], axis=0)
     return maps, grad, rot
 
 
