@@ -1,0 +1,117 @@
+"""Multi-host / multi-chip distribution helpers.
+
+TPU-native replacement for the reference's distribution story (SURVEY.md
+section 2.5/5.8): where HessGPU used TCP sockets for feature transport and
+one process per GPU, here `jax.distributed` + XLA collectives over ICI/DCN
+carry everything:
+
+  * initialize(): multi-host program launch (the analogue of starting one
+    server per GPU, ServerSiftGPU.cpp usage comment SiftGPU.h:378-396).
+  * device_mesh(): all-device mesh for data/batch sharding.
+  * match_sharded(): the all-pairs descriptor matcher with image-1 rows
+    sharded across the mesh - the dot-product matrix never materializes on
+    one chip, mutual-best is resolved with psum/argmax collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+INV_512_SQ = 1.0 / (512.0 * 512.0)
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (no-op on a single host)."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def device_mesh(axis_name: str = "batch",
+                n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
+                  distmax: float = 0.7, ratiomax: float = 0.8,
+                  mutual_best: bool = True) -> jnp.ndarray:
+    """Pairwise matching with d1's rows sharded across the mesh.
+
+    d1: (N1, 128) u8, N1 divisible by mesh size; d2: (N2, 128) u8
+    (replicated). Returns (N1,) match index per row or -1 - identical to
+    matcher._match_core, but the (N1, N2) dot matrix lives sharded.
+    """
+    axis = mesh.axis_names[0]
+    n1 = d1.shape[0]
+    nloc = n1 // mesh.size
+
+    def local_fn(d1s, d2r):
+        a = d1s.astype(jnp.bfloat16)
+        b = d2r.astype(jnp.bfloat16)
+        dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+
+        # row side: local argmax/2nd
+        ri = jnp.argmax(dots, axis=1)
+        rv = jnp.max(dots, axis=1)
+        onehot = jax.nn.one_hot(ri, dots.shape[1], dtype=jnp.bool_, axis=1)
+        rn = jnp.max(jnp.where(onehot, -jnp.inf, dots), axis=1)
+
+        def accept(bv, nv):
+            dist = jnp.arccos(jnp.minimum(bv * INV_512_SQ, 1.0))
+            distn = jnp.arccos(jnp.clip(nv * INV_512_SQ, -1.0, 1.0))
+            return (dist < distmax) & (dist < distn * ratiomax)
+
+        row_match = jnp.where(accept(rv, rn) & (rv > 0), ri, -1)
+
+        if not mutual_best:
+            return row_match
+
+        # column side: per-shard col max/argmax(global row idx)/2nd, then
+        # combine across shards with an all-gather (small: (3, N2) each)
+        shard = jax.lax.axis_index(axis)
+        cv = jnp.max(dots, axis=0)
+        ci_local = jnp.argmax(dots, axis=0)
+        ci = ci_local + shard * nloc
+        oh = jax.nn.one_hot(ci_local, dots.shape[0], dtype=jnp.bool_, axis=0)
+        cn = jnp.max(jnp.where(oh, -jnp.inf, dots), axis=0)
+
+        all_cv = jax.lax.all_gather(cv, axis)      # (n_shards, N2)
+        all_ci = jax.lax.all_gather(ci, axis)
+        all_cn = jax.lax.all_gather(cn, axis)
+
+        best_shard = jnp.argmax(all_cv, axis=0)    # (N2,)
+        n2 = all_cv.shape[1]
+        cols = jnp.arange(n2)
+        best_v = all_cv[best_shard, cols]
+        best_i = all_ci[best_shard, cols]
+        # global second-best: max of (per-shard seconds, other shards' bests)
+        masked = jnp.where(jax.nn.one_hot(best_shard, all_cv.shape[0],
+                                          dtype=jnp.bool_, axis=0),
+                           all_cn, all_cv)
+        second_v = jnp.max(masked, axis=0)
+
+        col_match = jnp.where(accept(best_v, second_v) & (best_v > 0),
+                              best_i, -1)
+        mutual = col_match[jnp.clip(row_match, 0, n2 - 1)] == \
+            (jnp.arange(nloc) + shard * nloc)
+        return jnp.where((row_match >= 0) & mutual, row_match, -1)
+
+    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                               in_specs=(P(axis, None), P(None, None)),
+                               out_specs=P(axis)))
+    d1p = jax.device_put(d1, NamedSharding(mesh, P(axis, None)))
+    d2p = jax.device_put(d2, NamedSharding(mesh, P(None, None)))
+    return fn(d1p, d2p)

@@ -1,0 +1,38 @@
+"""Sharded matcher on the virtual 8-device mesh vs the single-device path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hessgpu_tpu.matcher import _match_core, quantize_descriptors
+from hessgpu_tpu.parallel.distributed import device_mesh, match_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return device_mesh("batch", 8)
+
+
+def _descs(rng, n):
+    d = np.abs(rng.randn(n, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return quantize_descriptors(d)
+
+
+@pytest.mark.parametrize("mutual", [False, True])
+def test_match_sharded_equals_local(mesh, rng, mutual):
+    n1, n2 = 64, 80
+    d1 = _descs(rng, n1)
+    d2 = _descs(rng, n2)
+    # plant some true correspondences
+    d2[:32] = d1[:32]
+
+    want = np.asarray(_match_core(
+        jnp.asarray(d1), jnp.asarray(d2),
+        jnp.ones(n1, bool), jnp.ones(n2, bool),
+        0.7, 0.8, mutual_best=mutual))
+    got = np.asarray(match_sharded(jnp.asarray(d1), jnp.asarray(d2), mesh,
+                                   mutual_best=mutual))
+    np.testing.assert_array_equal(got, want)
+    assert (got[:32] == np.arange(32)).mean() > 0.9
