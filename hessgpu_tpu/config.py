@@ -116,8 +116,9 @@ class SiftConfig:
             elif opt == "-d":
                 cfg.num_scales = int(val())
             elif opt == "-fo":
-                cfg.first_octave = max(0, int(val())) if cfg.detector == "hessian" \
-                    else int(val())
+                # hessian restricts to >= 0 (SiftGPU.cpp:1166-1170); clamp
+                # happens at pipeline time since -d may switch personality
+                cfg.first_octave = int(val())
             elif opt == "-no":
                 cfg.num_octaves = int(val())
             elif opt == "-f":

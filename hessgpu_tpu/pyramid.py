@@ -18,6 +18,7 @@ design (SURVEY.md section 7):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from typing import List, NamedTuple, Tuple
@@ -494,9 +495,16 @@ def detect_and_describe(img_np: np.ndarray, cfg: SiftConfig) -> FeatureTable:
     arr = to_float(arr)
     if arr.ndim == 3:
         arr = rgb_to_gray(arr)
+    if cfg.detector == "hessian" and cfg.first_octave < 0:
+        cfg = dataclasses.replace(cfg, first_octave=0)
     if cfg.first_octave > 0:
         # reference: SampleImageD of the input before octave 0
         arr = arr[:: 1 << cfg.first_octave, :: 1 << cfg.first_octave]
+    elif cfg.first_octave < 0:
+        # octave -1: bilinear upsample (reference SampleImageU,
+        # ProgramCU.cu:233-310; SIFT personality only)
+        from .ops.resize import upsample
+        arr = upsample(arr, -cfg.first_octave)
     h, w = arr.shape
     plan = make_plan(h, w, cfg)
     return run_pipeline_jit(arr, plan, _CfgKey(cfg))
