@@ -112,10 +112,18 @@ def detect_keypoints_level(
     edge_threshold: float,
     subpixel: bool = True,
     hessian: bool = True,
+    darkness_adaption: bool = False,
 ) -> KeypointMaps:
-    """Run the keypoint test on one detection level. All inputs (H, W)."""
+    """Run the keypoint test on one detection level. All inputs (H, W).
+
+    darkness_adaption scales the threshold per pixel by
+    min(2*intensity + 0.1, 1) so dark regions keep weaker keypoints
+    (reference -da flag, GLSL shader ProgramGLSL.cpp:835-839).
+    """
     h, w = resp_cur.shape
     v = resp_cur
+    if darkness_adaption:
+        threshold = threshold * jnp.minimum(2.0 * gauss_cur + 0.1, 1.0)
     thr0 = (0.8 if subpixel else 1.0) * threshold
 
     # --- 3x3x3 neighbourhoods -------------------------------------------------

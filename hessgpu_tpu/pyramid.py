@@ -122,6 +122,7 @@ def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
             resp[kl - 1], resp[kl], resp[kl + 1], gauss_oct[kl],
             threshold=p.threshold, edge_threshold=p.edge_threshold,
             subpixel=cfg.subpixel, hessian=(cfg.detector == "hessian"),
+            darkness_adaption=cfg.darkness_adaption,
         )
         maps.append(m)
     if cfg.detector != "hessian":

@@ -118,3 +118,13 @@ def test_formats_roundtrip(tmp_path, feats_small):
     pv = str(tmp_path / "out.vlf")
     save_sift_vlfeat(pv, feats_small, image_size=(160, 200))
     assert os.path.getsize(pv) == 20 + n * (3 * 4 + 4 * 4 + 4 + 4 + 128)
+
+
+def test_darkness_adaption(gray_small):
+    """-da lowers the effective threshold in dark regions -> at least as
+    many detections on a darkened image."""
+    dark = (gray_small * 0.5).astype(np.float32)
+    base = HessianSift(SiftConfig()).run(dark)
+    da = HessianSift(SiftConfig(darkness_adaption=True)).run(dark)
+    assert da["x"].shape[0] >= base["x"].shape[0]
+    assert da["x"].shape[0] > 0
