@@ -93,3 +93,25 @@ class HessianSift:
         from .formats import save_sift
         if self._last_feats is not None:
             save_sift(path, self._last_feats, self.config)
+
+    # -- reference API parity ----------------------------------------------
+    def parse_param(self, args) -> None:
+        """Reconfigure with reference-style CLI options (SiftGPU::ParseParam)."""
+        if isinstance(args, str):
+            args = args.split()
+        self.config = type(self.config).parse_args(list(args))
+
+    def allocate_pyramid(self, width: int, height: int) -> None:
+        """Pre-warm the compile cache for an image size.
+
+        The reference pre-allocates GPU pyramid storage
+        (SiftGPU::AllocatePyramid); the TPU analogue is compiling the
+        pipeline for the (height, width) bucket ahead of time.
+        """
+        dummy = np.zeros((height, width), np.float32)
+        self.run(dummy)
+        self._last_feats = None
+        self._last_table = None
+
+    def set_max_dimension(self, maxd: int) -> None:
+        self.config.max_dim = maxd

@@ -152,6 +152,94 @@ def compute_descriptors(
     return desc
 
 
+def _descriptor_rect_one(kx, ky, rw, rh, grad_win, rot_win, x0, y0,
+                         width, height):
+    """Unrotated rectangle descriptor (ComputeDescriptorRECT_Kernel,
+    ProgramCU.cu:1811-1948): 4x4 cells tile the rectangle whose top-left
+    corner is (kx, ky) and size is (rw, rh); no Gaussian weighting, no
+    rotation; orientation bins relative to angle 0.
+    """
+    wsize = grad_win.shape[0]
+    iy = y0 + jnp.arange(wsize, dtype=jnp.float32).reshape(-1, 1)
+    ix = x0 + jnp.arange(wsize, dtype=jnp.float32).reshape(1, -1)
+    px = ix + 0.5
+    py = iy + 0.5
+
+    sptx = rw * 0.25
+    spty = rh * 0.25
+    # cell coords: cell i accepts |(p - pt_i)/spt| < 1 with
+    # pt_i = k + (i + 0.5) * spt  =>  cu = (px - kx)/sptx - 0.5
+    cu = (px - kx) / sptx - 0.5
+    cv = (py - ky) / spty - 0.5
+
+    interior = (ix >= 1.0) & (ix <= width - 2.0) & \
+        (iy >= 1.0) & (iy <= height - 2.0)
+    in_support = (cu > -1.0) & (cu < 4.0) & (cv > -1.0) & (cv < 4.0)
+    base_mask = interior & in_support
+
+    theta_pix = (-rot_win) * (4.0 / PI)
+    theta_pix = jnp.where(theta_pix < 0, theta_pix + 8.0, theta_pix)
+    fo = jnp.floor(theta_pix)
+    ob = jnp.clip(fo.astype(jnp.int32), 0, 7)
+    w2 = theta_pix - fo
+    w1 = 1.0 - w2
+
+    weight = jnp.where(base_mask, grad_win, 0.0)
+
+    cells = jnp.arange(4, dtype=jnp.float32)
+    ax = jnp.maximum(0.0, 1.0 - jnp.abs(cu.reshape(-1, 1) - cells.reshape(1, -1)))
+    ay = jnp.maximum(0.0, 1.0 - jnp.abs(cv.reshape(-1, 1) - cells.reshape(1, -1)))
+
+    bins = jnp.arange(8, dtype=jnp.int32)
+    obf = ob.reshape(-1, 1)
+    o_mat = (w1.reshape(-1, 1) * (obf == bins.reshape(1, -1))
+             + w2.reshape(-1, 1) * (((obf + 1) % 8) == bins.reshape(1, -1)))
+    o_mat = o_mat * weight.reshape(-1, 1)
+
+    spatial = (ay[:, :, None] * ax[:, None, :]).reshape(-1, 16)
+    desc = jnp.dot(spatial.T, o_mat, preferred_element_type=jnp.float32)
+    return desc.reshape(-1)
+
+
+def compute_descriptors_rect(
+    x, y, rect_w, rect_h, kvalid,
+    grad: jnp.ndarray, rot: jnp.ndarray,
+    wsize: int,
+    half_sift: bool = False,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Rect descriptors for a level's keypoint list ((K,) rect geometry).
+
+    The gather window is centered on the rectangle center (kx + rw/2,
+    ky + rh/2).
+    """
+    height, width = grad.shape
+    wsize = min(wsize, height, width)
+
+    def per_kp(kx, ky, rw, rh):
+        cx = kx + rw * 0.5
+        cy = ky + rh * 0.5
+        y0 = jnp.floor(cy - (wsize - 1) / 2.0).astype(jnp.int32)
+        x0 = jnp.floor(cx - (wsize - 1) / 2.0).astype(jnp.int32)
+        y0 = jnp.clip(y0, 0, max(height - wsize, 0))
+        x0 = jnp.clip(x0, 0, max(width - wsize, 0))
+        gwin = jax.lax.dynamic_slice(grad, (y0, x0), (wsize, wsize))
+        rwin = jax.lax.dynamic_slice(rot, (y0, x0), (wsize, wsize))
+        return _descriptor_rect_one(kx, ky, rw, rh, gwin, rwin,
+                                    x0.astype(jnp.float32),
+                                    y0.astype(jnp.float32),
+                                    width, height)
+
+    desc = jax.vmap(per_kp)(x, y, rect_w, rect_h)
+    desc = jnp.where(kvalid[:, None], desc, 0.0)
+    if half_sift:
+        d = desc.reshape(-1, 16, 8)
+        desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+    if normalize:
+        desc = normalize_descriptors(desc, kvalid)
+    return desc
+
+
 def compute_descriptors_flat(
     x, y, sigma, theta, kvalid, level_id,
     flat_grad: jnp.ndarray, flat_rot: jnp.ndarray,

@@ -6,12 +6,17 @@ TPU scalar core (~840 ms/image for descriptors). These kernels instead:
   * store the whole pyramid's gradient/rotation maps as one padded
     (L, Hp, Wp) HBM stack (padding PAD on top/left so window DMAs never go
     out of bounds);
-  * run a 1-D grid over keypoint slots; each program reads its keypoint's
-    geometry from scalar-prefetch SMEM, DMAs the (wsize, wsize) window into
-    VMEM, and computes on the VPU;
+  * run a grid over blocks of 8 keypoint slots; each program reads keypoint
+    geometry from scalar-prefetch SMEM, DMAs a tile-aligned window into
+    VMEM (origin rounded down to the (8, 128) tile grid - Mosaic requires
+    aligned DMA offsets and shapes), and computes on the VPU;
   * predicate everything on the slot's validity - invalid (padding) slots
     cost almost nothing, so runtime tracks the *real* feature count even
     though shapes are static.
+
+Membership masks use absolute level coordinates (support / window-radius /
+border tests), so the enlarged aligned window contributes exactly the same
+pixel set as the reference's per-keypoint scan.
 
 Math is identical to ops/orientation.py / ops/descriptor.py (which remain
 the reference implementations the tests compare against - the same role the
@@ -20,13 +25,11 @@ GLSL backend played for the reference's CUDA path).
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,17 +38,24 @@ BINS_PER_RADIAN = 36.0 / TWO_PI
 PI = math.pi
 
 
+def _window_dims(wsize: int):
+    """Aligned scratch dims covering a wsize window at any aligned origin."""
+    rows = (wsize + 7) // 8 * 8 + 8
+    cols = (wsize + 127) // 128 * 128 + 128
+    return rows, cols
+
+
 def build_padded_stack(grads: Sequence[jnp.ndarray],
                        rots: Sequence[jnp.ndarray], pad: int):
-    """Stack per-level maps into (L, Hp, Wp) with `pad` zeros on every side.
+    """Stack per-level maps into (L, Hp, Wp) with `pad` zeros on top/left.
 
-    All levels are placed at offset (pad, pad); smaller levels just leave
-    the tail unused. Returns (grad_stack, rot_stack, level_h, level_w).
+    Margins are sized so a tile-aligned window DMA for any in-image keypoint
+    stays in bounds. Returns (grad_stack, rot_stack, level_h, level_w).
     """
     H = max(g.shape[0] for g in grads)
     W = max(g.shape[1] for g in grads)
-    Hp = H + 2 * pad + 8
-    Wp = (W + 2 * pad + 127) // 128 * 128  # lane-align the row stride
+    Hp = (H + 2 * pad + 24 + 7) // 8 * 8
+    Wp = (W + 2 * pad + 256 + 127) // 128 * 128
     L = len(grads)
 
     gs = jnp.zeros((L, Hp, Wp), jnp.float32)
@@ -58,20 +68,39 @@ def build_padded_stack(grads: Sequence[jnp.ndarray],
     return gs, rs, level_h, level_w
 
 
+def _aligned_origin(ky, kx, r, pad):
+    """Tile-aligned DMA origin for a window of radius r around (ky, kx).
+
+    Returns (row_start, col_start) into the padded stack and the absolute
+    level coordinates (y0f, x0f) of the scratch's [0, 0] element.
+    """
+    y0 = jnp.floor(ky).astype(jnp.int32) - r
+    x0 = jnp.floor(kx).astype(jnp.int32) - r
+    srow = y0 + pad
+    scol = x0 + pad
+    srow_a = pl.multiple_of(srow - jnp.remainder(srow, 8), 8)
+    scol_a = pl.multiple_of(scol - jnp.remainder(scol, 128), 128)
+    y0f = (srow_a - pad).astype(jnp.float32)
+    x0f = (scol_a - pad).astype(jnp.float32)
+    return srow_a, scol_a, y0f, x0f
+
+
 # ---------------------------------------------------------------------------
 # descriptor kernel
 # ---------------------------------------------------------------------------
 
-def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w,
-                        gwin, rwin, wsize, cols):
-    """VPU math for one keypoint's 128-d raw descriptor.
+def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin):
+    """VPU math for one keypoint's 128-d raw descriptor -> (1, 128).
 
-    gwin/rwin: (rows, cols) VMEM windows whose [i, j] is image[y0+i, x0+j].
-    Returns (16, 8) cell histogram.
+    gwin/rwin: (rows, cols) VMEM windows whose [i, j] is the level image at
+    absolute coordinates (y0f + i, x0f + j); membership masks are exact in
+    absolute coordinates so extra gathered pixels contribute nothing.
     """
-    rows = gwin.shape[0]
-    iy = y0f + jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 0)
-    ix = x0f + jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 1)
+    rows, cols = gwin.shape
+    iy = y0f + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) \
+        .astype(jnp.float32)
+    ix = x0f + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) \
+        .astype(jnp.float32)
     px = ix + 0.5
     py = iy + 0.5
     dx = px - kx
@@ -89,16 +118,9 @@ def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w,
     cu = u + 1.5
     cv = v + 1.5
 
-    in_win = (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) < wsize) \
-        & (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) < wsize)
     interior = (ix >= 1.0) & (ix <= w - 2.0) & (iy >= 1.0) & (iy <= h - 2.0)
     in_support = (cu > -1.0) & (cu < 4.0) & (cv > -1.0) & (cv < 4.0)
-    base_mask = in_win & interior & in_support
-
-    # scratch beyond the DMA'd window holds garbage (possibly NaN): zero it
-    # through the mask so downstream arithmetic stays NaN-free
-    gwin = jnp.where(in_win, gwin, 0.0)
-    rwin = jnp.where(in_win, rwin, 0.0)
+    base_mask = interior & in_support
 
     theta_pix = (anglef - rwin) * (4.0 / PI)
     theta_pix = jnp.where(theta_pix < 0, theta_pix + 8.0, theta_pix)
@@ -109,19 +131,25 @@ def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w,
 
     weight = jnp.where(base_mask, gauss_w * gwin, 0.0)
 
-    out = []
+    # accumulate the 128 cell/bin sums into a (1, 128) lane-masked vector -
+    # Mosaic cannot reshape a (16, 8) vector into 128 lanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    total = jnp.zeros((1, 128), jnp.float32)
+    idx = 0
     for cyi in range(4):
         ay = jnp.maximum(0.0, 1.0 - jnp.abs(cv - cyi))
         for cxi in range(4):
             ax = jnp.maximum(0.0, 1.0 - jnp.abs(cu - cxi))
             cw = weight * ay * ax
-            row = []
+            cw1 = cw * w1
+            cw2 = cw * w2
             for b in range(8):
-                contrib = jnp.where(ob == b, cw * w1, 0.0) + \
-                    jnp.where(((ob + 1) & 7) == b, cw * w2, 0.0)
-                row.append(jnp.sum(contrib))
-            out.append(jnp.stack(row))
-    return jnp.stack(out)  # (16, 8)
+                contrib = jnp.where(ob == b, cw1, 0.0) + \
+                    jnp.where(((ob + 1) & 7) == b, cw2, 0.0)
+                ssum = jnp.sum(contrib)
+                total = total + jnp.where(lane == idx, ssum, 0.0)
+                idx += 1
+    return total  # (1, 128)
 
 
 def descriptor_pallas(
@@ -136,59 +164,66 @@ def descriptor_pallas(
     grad_stack/rot_stack: (L, Hp, Wp) padded pyramid (build_padded_stack).
     Returns (G, 128) float32 (caller applies half-SIFT fold + normalize).
     """
-    G = x.shape[0]
-    rows = (wsize + 7) // 8 * 8
-    cols = (wsize + 127) // 128 * 128
+    G0 = x.shape[0]
+    BK = 8  # keypoints per program (TPU wants >=8 sublanes per out block)
+    padk = (-G0) % BK
+    if padk:
+        x = jnp.pad(x, (0, padk))
+        y = jnp.pad(y, (0, padk))
+        sigma = jnp.pad(sigma, (0, padk), constant_values=1.0)
+        theta = jnp.pad(theta, (0, padk))
+        valid = jnp.pad(valid, (0, padk))
+        level_id = jnp.pad(level_id, (0, padk))
+    G = G0 + padk
+    rows, cols = _window_dims(wsize)
+    r = (wsize - 1) // 2
 
     def kernel(xs, ys, sigs, ths, lvls, valids, lh, lw,
                grad_hbm, rot_hbm, out_ref, gwin, rwin, sems):
-        k = pl.program_id(0)
-        is_valid = valids[k] != 0
+        kb = pl.program_id(0)
+        for i in range(BK):
+            k = kb * BK + i
+            is_valid = valids[k] != 0
 
-        @pl.when(is_valid)
-        def _():
-            kx = xs[k]
-            ky = ys[k]
-            sig = sigs[k]
-            th = ths[k]
-            lvl = lvls[k]
-            r = (wsize - 1) // 2
-            y0 = jnp.floor(ky).astype(jnp.int32) - r
-            x0 = jnp.floor(kx).astype(jnp.int32) - r
+            @pl.when(is_valid)
+            def _(i=i, k=k):
+                kx = xs[k]
+                ky = ys[k]
+                sig = sigs[k]
+                th = ths[k]
+                lvl = lvls[k]
+                srow, scol, y0f, x0f = _aligned_origin(ky, kx, r, pad)
 
-            cp_g = pltpu.make_async_copy(
-                grad_hbm.at[lvl, pl.ds(y0 + pad, wsize),
-                            pl.ds(x0 + pad, wsize)],
-                gwin.at[:wsize, :wsize], sems.at[0])
-            cp_r = pltpu.make_async_copy(
-                rot_hbm.at[lvl, pl.ds(y0 + pad, wsize),
-                           pl.ds(x0 + pad, wsize)],
-                rwin.at[:wsize, :wsize], sems.at[1])
-            cp_g.start()
-            cp_r.start()
-            cp_g.wait()
-            cp_r.wait()
+                cp_g = pltpu.make_async_copy(
+                    grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                    gwin, sems.at[0])
+                cp_r = pltpu.make_async_copy(
+                    rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                    rwin, sems.at[1])
+                cp_g.start()
+                cp_r.start()
+                cp_g.wait()
+                cp_r.wait()
 
-            spt = jnp.abs(sig * window_factor)
-            desc = _descriptor_compute(
-                kx, ky, spt, th,
-                y0.astype(jnp.float32), x0.astype(jnp.float32),
-                lh[lvl].astype(jnp.float32), lw[lvl].astype(jnp.float32),
-                gwin[:, :], rwin[:, :], wsize, cols)
-            out_ref[0, :] = desc.reshape(-1)
+                spt = jnp.abs(sig * window_factor)
+                desc = _descriptor_compute(
+                    kx, ky, spt, th, y0f, x0f,
+                    lh[lvl].astype(jnp.float32), lw[lvl].astype(jnp.float32),
+                    gwin[:, :], rwin[:, :])
+                out_ref[i:i + 1, :] = desc
 
-        @pl.when(jnp.logical_not(is_valid))
-        def _():
-            out_ref[0, :] = jnp.zeros((128,), jnp.float32)
+            @pl.when(jnp.logical_not(is_valid))
+            def _(i=i):
+                out_ref[i:i + 1, :] = jnp.zeros((1, 128), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
-        grid=(G,),
+        grid=(G // BK,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # grad stack (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # rot stack
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda k, *_: (k, 0),
+        out_specs=pl.BlockSpec((BK, 128), lambda k, *_: (k, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, cols), jnp.float32),
@@ -197,13 +232,14 @@ def descriptor_pallas(
         ],
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
         interpret=interpret,
     )(x, y, sigma, theta, level_id.astype(jnp.int32),
       valid.astype(jnp.int32), level_h, level_w, grad_stack, rot_stack)
+    return out[:G0]
 
 
 # ---------------------------------------------------------------------------
@@ -223,15 +259,23 @@ def orientation_pallas(
 ):
     """Orientation histograms + peaks for the global table.
 
-    Returns (thetas (G, 4), valid (G, 4) as int32).
+    Returns (thetas (G, 4), valid (G, 4) bool).
     """
-    G = x.shape[0]
-    rows = (wsize + 7) // 8 * 8
-    cols = (wsize + 127) // 128 * 128
+    G0 = x.shape[0]
+    BK = 8
+    padk = (-G0) % BK
+    if padk:
+        x = jnp.pad(x, (0, padk))
+        y = jnp.pad(y, (0, padk))
+        sigma = jnp.pad(sigma, (0, padk), constant_values=1.0)
+        valid = jnp.pad(valid, (0, padk))
+        level_id = jnp.pad(level_id, (0, padk))
+    G = G0 + padk
+    rows, cols = _window_dims(wsize)
+    r = (wsize - 1) // 2
 
-    def kernel(xs, ys, sigs, lvls, valids, lh, lw,
-               grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
-        k = pl.program_id(0)
+    def _one_keypoint(k, i, xs, ys, sigs, lvls, valids, lh, lw,
+                      grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
         is_valid = valids[k] != 0
 
         @pl.when(is_valid)
@@ -240,18 +284,14 @@ def orientation_pallas(
             ky = ys[k]
             sig = sigs[k]
             lvl = lvls[k]
-            r = (wsize - 1) // 2
-            y0 = jnp.floor(ky).astype(jnp.int32) - r
-            x0 = jnp.floor(kx).astype(jnp.int32) - r
+            srow, scol, y0f, x0f = _aligned_origin(ky, kx, r, pad)
 
             cp_g = pltpu.make_async_copy(
-                grad_hbm.at[lvl, pl.ds(y0 + pad, wsize),
-                            pl.ds(x0 + pad, wsize)],
-                gwin.at[:wsize, :wsize], sems.at[0])
+                grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                gwin, sems.at[0])
             cp_r = pltpu.make_async_copy(
-                rot_hbm.at[lvl, pl.ds(y0 + pad, wsize),
-                           pl.ds(x0 + pad, wsize)],
-                rwin.at[:wsize, :wsize], sems.at[1])
+                rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                rwin, sems.at[1])
             cp_g.start()
             cp_r.start()
             cp_g.wait()
@@ -268,100 +308,133 @@ def orientation_pallas(
             dist_threshold = win * win + 0.5
             factor = -0.5 / (gsigma * gsigma)
 
-            iy = y0.astype(jnp.float32) + jax.lax.broadcasted_iota(
-                jnp.float32, (rows, cols), 0)
-            ix = x0.astype(jnp.float32) + jax.lax.broadcasted_iota(
-                jnp.float32, (rows, cols), 1)
+            iy = y0f + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, cols), 0).astype(jnp.float32)
+            ix = x0f + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, cols), 1).astype(jnp.float32)
             dxp = ix + 0.5 - kx
             dyp = iy + 0.5 - ky
             sq = dxp * dxp + dyp * dyp
 
-            in_win = (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-                      < wsize) & \
-                     (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-                      < wsize)
-            in_range = in_win \
-                & (ix >= jnp.maximum(1.0, jnp.floor(kx - win))) \
-                & (ix <= jnp.minimum(w - 2.0, jnp.floor(kx + win))) \
-                & (iy >= jnp.maximum(1.0, jnp.floor(ky - win))) \
-                & (iy <= jnp.minimum(h - 2.0, jnp.floor(ky + win))) \
+            in_range = (
+                (ix >= jnp.maximum(1.0, jnp.floor(kx - win)))
+                & (ix <= jnp.minimum(w - 2.0, jnp.floor(kx + win)))
+                & (iy >= jnp.maximum(1.0, jnp.floor(ky - win)))
+                & (iy <= jnp.minimum(h - 2.0, jnp.floor(ky + win)))
                 & (sq < dist_threshold)
+            )
 
-            rw = jnp.where(in_win, rw, 0.0)  # NaN-safety for scratch tail
             obin = jnp.floor(rw * BINS_PER_RADIAN).astype(jnp.int32)
             obin = jnp.where(obin < 0, obin + 36, obin)
             obin = jnp.clip(obin, 0, 35)
             wt = jnp.where(in_range, gw * jnp.exp(sq * factor), 0.0)
 
-            votes = []
-            for b in range(36):
-                votes.append(jnp.sum(jnp.where(obin == b, wt, 0.0)))
-            v = jnp.stack(votes).reshape(1, 36)
+            # 36 vector reductions -> scalar votes; smoothing/peaks run on
+            # scalar registers with static circular indexing (Mosaic has no
+            # dynamic lane extract / small-vector reshape)
+            v = [jnp.sum(jnp.where(obin == b, wt, 0.0)) for b in range(36)]
 
-            # 6x circular [1/3 1/3 1/3] smoothing
             for _ in range(6):
-                vl = jnp.concatenate([v[:, -1:], v[:, :-1]], axis=1)
-                vr = jnp.concatenate([v[:, 1:], v[:, :1]], axis=1)
-                v = (vl + v + vr) / 3.0
+                v = [(v[(j - 1) % 36] + v[j] + v[(j + 1) % 36]) / 3.0
+                     for j in range(36)]
 
             if half_sift:
-                folded = v[:, :18] + v[:, 18:]
-                v = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+                v = [v[j] + v[j + 18] for j in range(18)] + \
+                    [jnp.float32(0.0)] * 18
 
-            vl = jnp.concatenate([v[:, -1:], v[:, :-1]], axis=1)
-            vr = jnp.concatenate([v[:, 1:], v[:, :1]], axis=1)
-            vmax = jnp.max(v)
+            vmax = v[0]
+            for j in range(1, 36):
+                vmax = jnp.maximum(vmax, v[j])
 
             if single:
                 # first-max argmax + parabolic refinement
-                imax = jnp.argmax(v[0])
-                pre = vl[0, imax]
-                nxt = vr[0, imax]
-                off = 0.5 * (nxt - pre) / (vmax + vmax - nxt - pre)
+                imax = jnp.int32(0)
+                best = v[0]
+                for j in range(1, 36):
+                    gt = v[j] > best
+                    imax = jnp.where(gt, j, imax)
+                    best = jnp.maximum(best, v[j])
+                pre = jnp.float32(0.0)
+                nxt = jnp.float32(0.0)
+                for j in range(36):
+                    sel = imax == j
+                    pre = jnp.where(sel, v[(j - 1) % 36], pre)
+                    nxt = jnp.where(sel, v[(j + 1) % 36], nxt)
+                off = 0.5 * (nxt - pre) / (best + best - nxt - pre)
                 theta = (imax.astype(jnp.float32) + 0.5 + off) \
                     / BINS_PER_RADIAN
-                th_ref[0, 0] = theta
-                th_ref[0, 1] = 0.0
-                th_ref[0, 2] = 0.0
-                th_ref[0, 3] = 0.0
-                ov_ref[0, 0] = 1
-                ov_ref[0, 1] = 0
-                ov_ref[0, 2] = 0
-                ov_ref[0, 3] = 0
+                lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+                th_ref[i:i + 1, :] = jnp.where(lane4 == 0, theta, 0.0)
+                ov_ref[i:i + 1, :] = jnp.where(lane4 == 0, 1, 0)
             else:
-                is_peak = (v > peak_threshold * vmax) & (v > vl) & (v > vr)
-                score = jnp.where(is_peak, v, -jnp.inf)[0]
-                top_v, top_i = jax.lax.top_k(score, 4)
-                for j in range(4):
-                    ok = jnp.isfinite(top_v[j])
-                    ii = top_i[j]
-                    pre = vl[0, ii]
-                    nxt = vr[0, ii]
-                    vi = v[0, ii]
+                thr = peak_threshold * vmax
+                lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+                th_row = jnp.zeros((1, 4), jnp.float32)
+                ov_row = jnp.zeros((1, 4), jnp.int32)
+                peak_v = []
+                for j in range(36):
+                    is_pk = (v[j] > thr) & (v[j] > v[(j - 1) % 36]) \
+                        & (v[j] > v[(j + 1) % 36])
+                    peak_v.append(jnp.where(is_pk, v[j], -jnp.float32(1.0)))
+                # select top-4 peaks by vote (ties -> lowest bin, like the
+                # reference's stable insertion sort)
+                taken = [jnp.bool_(False)] * 36
+                for slot in range(4):
+                    best = jnp.float32(-1.0)
+                    bi = jnp.int32(-1)
+                    for j in range(36):
+                        cand = jnp.where(taken[j], -jnp.float32(1.0),
+                                         peak_v[j])
+                        gt = cand > best
+                        best = jnp.maximum(best, cand)
+                        bi = jnp.where(gt, j, bi)
+                    ok = best > 0.0
+                    taken = [taken[j] | (bi == j) for j in range(36)]
+                    pre = jnp.float32(0.0)
+                    nxt = jnp.float32(0.0)
+                    vi = jnp.float32(1.0)
+                    for j in range(36):
+                        sel = bi == j
+                        pre = jnp.where(sel, v[(j - 1) % 36], pre)
+                        nxt = jnp.where(sel, v[(j + 1) % 36], nxt)
+                        vi = jnp.where(sel, v[j], vi)
                     di = 0.5 * (nxt - pre) / (vi + vi - nxt - pre)
-                    rotb = ii.astype(jnp.float32) + di + 0.5
+                    rotb = bi.astype(jnp.float32) + di + 0.5
                     frac = rotb / 36.0
                     frac = jnp.where(frac < 0, frac + 1.0, frac)
                     q = jnp.floor(frac * 255.0)
-                    th_ref[0, j] = jnp.where(ok, q * (TWO_PI / 255.0), 0.0)
-                    ov_ref[0, j] = jnp.where(ok, 1, 0)
+                    th_row = th_row + jnp.where(
+                        lane4 == slot,
+                        jnp.where(ok, q * (TWO_PI / 255.0), 0.0), 0.0)
+                    ov_row = ov_row + jnp.where(
+                        lane4 == slot, jnp.where(ok, 1, 0), 0)
+                th_ref[i:i + 1, :] = th_row
+                ov_ref[i:i + 1, :] = ov_row
 
         @pl.when(jnp.logical_not(is_valid))
         def _():
-            th_ref[0, :] = jnp.zeros((4,), jnp.float32)
-            ov_ref[0, :] = jnp.zeros((4,), jnp.int32)
+            th_ref[i:i + 1, :] = jnp.zeros((1, 4), jnp.float32)
+            ov_ref[i:i + 1, :] = jnp.zeros((1, 4), jnp.int32)
+
+    def kernel(xs, ys, sigs, lvls, valids, lh, lw,
+               grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
+        kb = pl.program_id(0)
+        for i in range(BK):
+            _one_keypoint(kb * BK + i, i, xs, ys, sigs, lvls, valids, lh, lw,
+                          grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin,
+                          sems)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
-        grid=(G,),
+        grid=(G // BK,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, 4), lambda k, *_: (k, 0),
+            pl.BlockSpec((BK, 4), lambda k, *_: (k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda k, *_: (k, 0),
+            pl.BlockSpec((BK, 4), lambda k, *_: (k, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -379,4 +452,6 @@ def orientation_pallas(
         interpret=interpret,
     )(x, y, sigma, level_id.astype(jnp.int32), valid.astype(jnp.int32),
       level_h, level_w, grad_stack, rot_stack)
-    return thetas, ovalid.astype(jnp.bool_) & valid[:, None]
+    thetas = thetas[:G0]
+    ovalid = ovalid[:G0]
+    return thetas, ovalid.astype(jnp.bool_) & valid[:G0, None]

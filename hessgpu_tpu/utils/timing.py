@@ -49,3 +49,21 @@ class StageTimer:
         head = ",".join(keys)
         vals = ",".join(f"{self.last[k]:.3f}" for k in keys)
         return head + "\n" + vals + "\n"
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/hessgpu_tpu_trace"):
+    """XLA profiler trace around a block (view with TensorBoard/xprof).
+
+    Something the reference never had: per-op device timelines instead of
+    wall-clock buckets (SURVEY.md section 5.1).
+    """
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
