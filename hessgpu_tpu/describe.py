@@ -76,6 +76,92 @@ def _orient_and_describe_level(x, y, sigma, theta, valid, grad_rot,
     return theta, desc
 
 
+def describe_rectangles(
+    image: np.ndarray,
+    rects: np.ndarray,
+    cfg: Optional[SiftConfig] = None,
+) -> Dict[str, np.ndarray]:
+    """Axis-aligned rectangle description (reference RECT mode:
+    SetKeypointList(..., skip_orientation=-1), ComputeDescriptorRECT).
+
+    rects: (N, 4) columns x, y (top-left), width, height in image coords.
+    Rectangles are binned to levels by min(w, h)/12 (the reference's rect
+    scale proxy, PyramidCU.cpp:598-599).
+    """
+    from .ops.descriptor import compute_descriptors_rect
+    from .ops.resize import rgb_to_gray, to_float
+
+    cfg = cfg or SiftConfig()
+    p = cfg.scale_params()
+
+    arr = jnp.asarray(image)
+    arr = to_float(arr)
+    if arr.ndim == 3:
+        arr = rgb_to_gray(arr)
+    h, w = arr.shape
+    plan = make_plan(h, w, cfg)
+    grads, rots = _pyramid_gradients(arr, plan, _CfgKey(cfg))
+
+    rects = np.asarray(rects, np.float32)
+    n = rects.shape[0]
+    out_desc = np.zeros((n, cfg.descriptor_dim), np.float32)
+
+    shalf = 2.0 ** (0.5 / p.num_scales)
+    s = p.num_scales
+    sigma_proxy = np.minimum(rects[:, 2], rects[:, 3]) / 12.0
+
+    assigned = np.full(n, -1, np.int32)
+    octave_sigma = float(1 << cfg.first_octave)
+    offset = 0.0 if cfg.lowe_origin else 0.5
+    for o in range(plan.num_octaves):
+        for li, kl in enumerate(p.key_levels):
+            idx = o * s + li
+            level_sigma = p.key_level_sigma(kl) * octave_sigma
+            smin, smax = level_sigma / shalf, level_sigma * shalf
+            sel = (sigma_proxy >= smin) & (sigma_proxy < smax)
+            if o == 0 and li == 0:
+                sel |= sigma_proxy < smin
+            if o == plan.num_octaves - 1 and li == s - 1:
+                sel |= sigma_proxy >= smax
+            sel &= assigned < 0
+            assigned[sel] = idx
+        octave_sigma *= 2.0
+
+    octave_sigma = float(1 << cfg.first_octave)
+    for o in range(plan.num_octaves):
+        for li, kl in enumerate(p.key_levels):
+            idx = o * s + li
+            members = np.nonzero(assigned == idx)[0]
+            if len(members) == 0:
+                continue
+            fx = (rects[members, 0] - offset) / octave_sigma + 0.5
+            fy = (rects[members, 1] - offset) / octave_sigma + 0.5
+            frw = rects[members, 2] / octave_sigma
+            frh = rects[members, 3] / octave_sigma
+
+            cap = max(8, 1 << int(math.ceil(math.log2(len(members)))))
+            padn = cap - len(members)
+            valid = np.zeros(cap, bool)
+            valid[: len(members)] = True
+            fx = np.pad(fx, (0, padn))
+            fy = np.pad(fy, (0, padn))
+            frw = np.pad(frw, (0, padn), constant_values=4.0)
+            frh = np.pad(frh, (0, padn), constant_values=4.0)
+
+            wsize = int(math.ceil(max(frw[: len(members)].max(),
+                                      frh[: len(members)].max()))) + 4
+            desc = compute_descriptors_rect(
+                jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(frw),
+                jnp.asarray(frh), jnp.asarray(valid),
+                grads[idx], rots[idx], wsize=wsize,
+                half_sift=cfg.half_sift, normalize=cfg.normalized_sift)
+            out_desc[members] = np.asarray(desc)[: len(members)]
+        octave_sigma *= 2.0
+
+    return {"x": rects[:, 0], "y": rects[:, 1], "w": rects[:, 2],
+            "h": rects[:, 3], "desc": out_desc}
+
+
 def describe_keypoints(
     image: np.ndarray,
     keys: np.ndarray,

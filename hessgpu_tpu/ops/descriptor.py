@@ -169,8 +169,9 @@ def _descriptor_rect_one(kx, ky, rw, rh, grad_win, rot_win, x0, y0,
     spty = rh * 0.25
     # cell coords: cell i accepts |(p - pt_i)/spt| < 1 with
     # pt_i = k + (i + 0.5) * spt  =>  cu = (px - kx)/sptx - 0.5
-    cu = (px - kx) / sptx - 0.5
-    cv = (py - ky) / spty - 0.5
+    # (broadcast the separable coords to the full window grid)
+    cu = jnp.broadcast_to((px - kx) / sptx - 0.5, (wsize, wsize))
+    cv = jnp.broadcast_to((py - ky) / spty - 0.5, (wsize, wsize))
 
     interior = (ix >= 1.0) & (ix <= width - 2.0) & \
         (iy >= 1.0) & (iy <= height - 2.0)
