@@ -49,18 +49,23 @@ def compact_mask(valid: jnp.ndarray, values: Sequence[jnp.ndarray], capacity: in
     values: arrays shaped like valid, gathered alongside.
     Returns (count, [compacted values...], compacted_valid) where each output
     has shape (capacity,).
+
+    One scatter compacts the source indices; the payload fields then follow
+    with small (capacity,)-sized gathers - TPU scatters are expensive, so
+    scatter once, not once per field.
     """
     vflat = valid.reshape(-1)
+    n = vflat.shape[0]
     pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
     idx = jnp.where(vflat, pos, capacity)  # out-of-range -> dropped
     idx = jnp.minimum(idx, capacity)       # overflow also dropped
 
     count = jnp.minimum(jnp.sum(vflat.astype(jnp.int32)), capacity)
-    outs = []
-    for val in values:
-        out = jnp.zeros((capacity,), dtype=val.dtype)
-        outs.append(out.at[idx].set(val.reshape(-1), mode="drop"))
+    src = jnp.zeros((capacity,), jnp.int32)
+    src = src.at[idx].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    outs = [val.reshape(-1)[src] for val in values]
     slot_valid = jnp.arange(capacity) < count
+    outs = [jnp.where(slot_valid, o, jnp.zeros_like(o)) for o in outs]
     return count, outs, slot_valid
 
 

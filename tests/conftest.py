@@ -38,6 +38,8 @@ def gray_small(image_640):
     return np.asarray(g)[200:360, 280:480]  # textured region, not sky
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of execution order
     return np.random.RandomState(42)
