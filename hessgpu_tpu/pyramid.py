@@ -85,21 +85,43 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
     """Gaussian stacks for every octave. img: (H, W) f32 [0,1].
 
     Reference: PyramidCU::BuildPyramid (PyramidCU.cpp:1486-1558).
+    On accelerators the separable convolutions run as Pallas kernels
+    (ops/pallas/conv.py); XLA convolutions remain the CPU/reference path.
     """
+    from .params import gaussian_taps
+
     p = cfg.scale_params()
-    build = (gaussian.build_octave_chain if cfg.conv_mode == "chain"
-             else gaussian.build_octave_direct)
+    use_pallas = cfg.use_pallas and jax.default_backend() != "cpu"
+
+    if use_pallas:
+        from .ops.pallas.conv import blur_pallas
+
+        def blur(x, sigma):
+            if sigma <= 0:
+                return x
+            return blur_pallas(x, gaussian_taps(sigma, p.filter_width_factor))
+
+        def build(b, pp):
+            levels = [b]
+            for s in pp.incremental_sigmas():
+                levels.append(blur(levels[-1], s))
+            return jnp.stack(levels, axis=0)
+    else:
+        def blur(x, sigma):
+            return gaussian.blur(x, sigma, p.filter_width_factor)
+
+        build = (gaussian.build_octave_chain if cfg.conv_mode == "chain"
+                 else gaussian.build_octave_direct)
 
     octaves = []
-    base = gaussian.blur(img, p.initial_blur_sigma(cfg.first_octave),
-                         p.filter_width_factor)
+    base = blur(img, p.initial_blur_sigma(cfg.first_octave))
     for o in range(plan.num_octaves):
         if o > 0:
             src = octaves[-1][p.level_ds - p.level_min]
             base = resize.downsample(src, 1)
             skip = p.octave_restart_sigma()
             if skip > 0:
-                base = gaussian.blur(base, skip, p.filter_width_factor)
+                base = blur(base, skip)
         octaves.append(build(base, p))
     return octaves
 
