@@ -1,0 +1,61 @@
+"""Image I/O (PGM/PPM parser) and visualization dumps."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hessgpu_tpu.io_image import limit_working_size, load_image, load_pnm
+
+
+def test_pgm_binary_roundtrip(tmp_path, rng):
+    arr = (rng.rand(37, 53) * 255).astype(np.uint8)
+    p = str(tmp_path / "t.pgm")
+    with open(p, "wb") as f:
+        f.write(b"P5\n# comment line\n53 37\n255\n")
+        f.write(arr.tobytes())
+    back = load_pnm(p)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_pgm_ascii(tmp_path):
+    p = str(tmp_path / "t.pgm")
+    with open(p, "w") as f:
+        f.write("P2\n3 2\n255\n0 128 255\n10 20 30\n")
+    back = load_pnm(p)
+    np.testing.assert_array_equal(back, [[0, 128, 255], [10, 20, 30]])
+
+
+def test_ppm_binary(tmp_path, rng):
+    arr = (rng.rand(5, 7, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "t.ppm")
+    with open(p, "wb") as f:
+        f.write(b"P6\n7 5\n255\n")
+        f.write(arr.tobytes())
+    np.testing.assert_array_equal(load_pnm(p), arr)
+
+
+def test_load_reference_box_pgm():
+    img = load_image("/root/reference/doc/evaluation/box.pgm")
+    assert img.shape == (223, 324)
+    assert img.dtype == np.uint8
+
+
+def test_limit_working_size():
+    img = np.zeros((1000, 1600), np.float32)
+    out, ds = limit_working_size(img, 800)
+    assert ds == 1 and out.shape == (500, 800)
+    out, ds = limit_working_size(img, 4000)
+    assert ds == 0 and out.shape == (1000, 1600)
+
+
+def test_viz_keypoint_render(gray_small):
+    from hessgpu_tpu.utils.viz import draw_keypoints
+    feats = {
+        "x": np.array([50.0, 100.0]), "y": np.array([40.0, 80.0]),
+        "sigma": np.array([2.0, 4.0]), "theta": np.array([0.5, 2.0]),
+        "ftype": np.array([0, 2]),
+    }
+    out = draw_keypoints(gray_small, feats)
+    assert out.shape == gray_small.shape + (3,)
+    assert out.max() <= 1.0 and (out != np.stack([gray_small] * 3, -1)).any()
