@@ -69,6 +69,24 @@ def compact_mask(valid: jnp.ndarray, values: Sequence[jnp.ndarray], capacity: in
     return count, outs, slot_valid
 
 
+def compact_indices(valid: jnp.ndarray, capacity: int):
+    """Like compact_mask but returns the source-index table so callers can
+    gather arbitrary payloads (including 2-D ones) themselves.
+
+    Returns (src (capacity,) i32 indices into the flattened input,
+    slot_valid (capacity,) bool, count)."""
+    vflat = valid.reshape(-1)
+    n = vflat.shape[0]
+    pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    idx = jnp.where(vflat, pos, capacity)
+    idx = jnp.minimum(idx, capacity)
+    count = jnp.minimum(jnp.sum(vflat.astype(jnp.int32)), capacity)
+    src = jnp.zeros((capacity,), jnp.int32)
+    src = src.at[idx].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    slot_valid = jnp.arange(capacity) < count
+    return src, slot_valid, count
+
+
 def compact_level_keypoints(maps, sigma: float, sigma_step: float, capacity: int) -> FeatureList:
     """Dense KeypointMaps -> fixed-capacity FeatureList for one level.
 

@@ -396,78 +396,124 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
         g_stack, r_stack, plh, plw = build_padded_stack(grads, rots, pad)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
-    if cfg.fixed_orientation:
-        table = table._replace(theta=jnp.zeros_like(table.theta))
-        G_exp = G
-    else:
-        if use_pallas:
-            o_thetas, o_valid = orientation_pallas(
-                table.x, table.y, table.sigma, table.valid, table.level_id,
-                g_stack, r_stack, plh, plw, wsize=owin, pad=pad,
-                gaussian_factor=cfg.orientation_gaussian_factor,
-                window_factor=cfg.orientation_window_factor,
-                peak_threshold=cfg.multi_orientation_threshold,
-                half_sift=cfg.half_sift, single=single,
-                interpret=interpret)
-        else:
-            ores = compute_orientations_flat(
-                table.x, table.y, table.sigma, table.valid, table.level_id,
-                flat_grad, flat_rot, level_base, level_h, level_w,
-                wsize=owin,
-                num_orientations=cfg.max_orientations,
-                gaussian_factor=cfg.orientation_gaussian_factor,
-                window_factor=cfg.orientation_window_factor,
-                peak_threshold=cfg.multi_orientation_threshold,
-                half_sift=cfg.half_sift,
-                single=single,
-            )
-            o_thetas, o_valid = ores.thetas, ores.valid
+
+    if use_pallas and cfg.compute_descriptors and not cfg.fixed_orientation:
+        # fused path: one kernel computes orientations AND per-orientation
+        # descriptors (one window DMA per keypoint); expansion becomes a
+        # cheap gather of (kp, slot) rows
+        from .ops.descriptor import normalize_descriptors
+        from .ops.pallas.patch import orient_describe_pallas
+        from .ops.compaction import compact_indices
+
+        o_thetas, o_valid, desc4 = orient_describe_pallas(
+            table.x, table.y, table.sigma, table.valid, table.level_id,
+            g_stack, r_stack, plh, plw,
+            owin=owin, dwin=dwin, pad=pad,
+            gaussian_factor=cfg.orientation_gaussian_factor,
+            orientation_window_factor=cfg.orientation_window_factor,
+            descriptor_window_factor=cfg.descriptor_window_factor,
+            peak_threshold=cfg.multi_orientation_threshold,
+            half_sift=cfg.half_sift, single=single,
+            interpret=interpret)
+
         if single:
             table = table._replace(theta=o_thetas[:, 0])
-            G_exp = G
+            desc = desc4[:, 0, :]
         else:
             G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
             mask = (o_valid & table.valid[:, None]).reshape(-1)
-            rep = lambda a: jnp.repeat(a, 4)
-            cnt, outs, slot_valid = compact_mask(
-                mask,
-                [rep(table.x), rep(table.y), rep(table.sigma),
-                 o_thetas.reshape(-1), rep(table.response),
-                 rep(table.ftype), rep(table.level_id)],
-                G_exp,
-            )
-            x, y, sg, th, r, ft, lid = outs
-            table = GlobalTable(x=x, y=y, sigma=sg, theta=th, response=r,
-                                ftype=ft, level_id=lid, valid=slot_valid)
+            src, slot_valid, _ = compact_indices(mask, G_exp)
+            kp = src // 4
+            rep = lambda a: jnp.where(slot_valid, a[kp], jnp.zeros_like(a[kp]))
+            table = GlobalTable(
+                x=rep(table.x), y=rep(table.y), sigma=rep(table.sigma),
+                theta=jnp.where(slot_valid, o_thetas.reshape(-1)[src], 0.0),
+                response=rep(table.response), ftype=rep(table.ftype),
+                level_id=rep(table.level_id), valid=slot_valid)
+            desc = desc4.reshape(-1, 128)[src]
+            desc = jnp.where(slot_valid[:, None], desc, 0.0)
 
-    # ---- descriptors (one pass over all levels) -------------------------------
-    if cfg.compute_descriptors:
-        if use_pallas:
-            from .ops.descriptor import normalize_descriptors
-            desc = descriptor_pallas(
-                table.x, table.y, table.sigma, table.theta, table.valid,
-                table.level_id, g_stack, r_stack, plh, plw,
-                wsize=dwin, pad=pad,
-                window_factor=cfg.descriptor_window_factor,
-                interpret=interpret)
-            desc = jnp.where(table.valid[:, None], desc, 0.0)
-            if cfg.half_sift:
-                d = desc.reshape(-1, 16, 8)
-                desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
-            if cfg.normalized_sift:
-                desc = normalize_descriptors(desc, table.valid)
-        else:
-            desc = compute_descriptors_flat(
-                table.x, table.y, table.sigma, table.theta, table.valid,
-                table.level_id, flat_grad, flat_rot,
-                level_base, level_h, level_w,
-                wsize=dwin,
-                window_factor=cfg.descriptor_window_factor,
-                half_sift=cfg.half_sift,
-                normalize=cfg.normalized_sift,
-            )
+        if cfg.half_sift:
+            d = desc.reshape(-1, 16, 8)
+            desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+        if cfg.normalized_sift:
+            desc = normalize_descriptors(desc, table.valid)
     else:
-        desc = jnp.zeros((G_exp, cfg.descriptor_dim), jnp.float32)
+        if cfg.fixed_orientation:
+            table = table._replace(theta=jnp.zeros_like(table.theta))
+            G_exp = G
+        else:
+            if use_pallas:
+                o_thetas, o_valid = orientation_pallas(
+                    table.x, table.y, table.sigma, table.valid,
+                    table.level_id, g_stack, r_stack, plh, plw,
+                    wsize=owin, pad=pad,
+                    gaussian_factor=cfg.orientation_gaussian_factor,
+                    window_factor=cfg.orientation_window_factor,
+                    peak_threshold=cfg.multi_orientation_threshold,
+                    half_sift=cfg.half_sift, single=single,
+                    interpret=interpret)
+            else:
+                ores = compute_orientations_flat(
+                    table.x, table.y, table.sigma, table.valid,
+                    table.level_id, flat_grad, flat_rot,
+                    level_base, level_h, level_w,
+                    wsize=owin,
+                    num_orientations=cfg.max_orientations,
+                    gaussian_factor=cfg.orientation_gaussian_factor,
+                    window_factor=cfg.orientation_window_factor,
+                    peak_threshold=cfg.multi_orientation_threshold,
+                    half_sift=cfg.half_sift,
+                    single=single,
+                )
+                o_thetas, o_valid = ores.thetas, ores.valid
+            if single:
+                table = table._replace(theta=o_thetas[:, 0])
+                G_exp = G
+            else:
+                G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
+                mask = (o_valid & table.valid[:, None]).reshape(-1)
+                rep = lambda a: jnp.repeat(a, 4)
+                cnt, outs, slot_valid = compact_mask(
+                    mask,
+                    [rep(table.x), rep(table.y), rep(table.sigma),
+                     o_thetas.reshape(-1), rep(table.response),
+                     rep(table.ftype), rep(table.level_id)],
+                    G_exp,
+                )
+                x, y, sg, th, r, ft, lid = outs
+                table = GlobalTable(x=x, y=y, sigma=sg, theta=th, response=r,
+                                    ftype=ft, level_id=lid, valid=slot_valid)
+
+        # ---- descriptors (separate pass) ----------------------------------
+        if cfg.compute_descriptors:
+            if use_pallas:
+                from .ops.descriptor import normalize_descriptors
+                desc = descriptor_pallas(
+                    table.x, table.y, table.sigma, table.theta, table.valid,
+                    table.level_id, g_stack, r_stack, plh, plw,
+                    wsize=dwin, pad=pad,
+                    window_factor=cfg.descriptor_window_factor,
+                    interpret=interpret)
+                desc = jnp.where(table.valid[:, None], desc, 0.0)
+                if cfg.half_sift:
+                    d = desc.reshape(-1, 16, 8)
+                    desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+                if cfg.normalized_sift:
+                    desc = normalize_descriptors(desc, table.valid)
+            else:
+                desc = compute_descriptors_flat(
+                    table.x, table.y, table.sigma, table.theta, table.valid,
+                    table.level_id, flat_grad, flat_rot,
+                    level_base, level_h, level_w,
+                    wsize=dwin,
+                    window_factor=cfg.descriptor_window_factor,
+                    half_sift=cfg.half_sift,
+                    normalize=cfg.normalized_sift,
+                )
+        else:
+            desc = jnp.zeros((table.x.shape[0], cfg.descriptor_dim),
+                             jnp.float32)
 
     # ---- convert to image coordinates -----------------------------------------
     offset = 0.0 if cfg.lowe_origin else 0.5
