@@ -56,8 +56,11 @@ class SiftConfig:
     max_level_features: int = 4096
     # Static capacity of the global (cross-level) feature table. The
     # expensive per-keypoint stages run over this compacted table, so work
-    # scales with real feature counts, not per-level capacity.
-    global_feature_cap: int = 4096
+    # scales with real feature counts, not per-level capacity. 2048 distinct
+    # locations comfortably covers typical images (reference caps at 4096
+    # per level but real images yield a few hundred); raise for dense
+    # scenes or tiny thresholds.
+    global_feature_cap: int = 2048
     # Expansion headroom for multi-orientation duplication (x global cap).
     expansion_factor: float = 1.5
     truncate_method: int = TRUNCATE_NONE

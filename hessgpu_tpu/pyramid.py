@@ -397,7 +397,13 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 
-    if use_pallas and cfg.compute_descriptors and not cfg.fixed_orientation:
+    # NOTE: an orient_describe_pallas fused kernel exists
+    # (ops/pallas/patch.py) but measured 4x slower than the two-kernel path
+    # on v5e (the 8-slot x 4-orientation unrolled body overwhelms Mosaic);
+    # keep it disabled until block-level restructuring.
+    use_fused = False
+    if use_fused and use_pallas and cfg.compute_descriptors \
+            and not cfg.fixed_orientation:
         # fused path: one kernel computes orientations AND per-orientation
         # descriptors (one window DMA per keypoint); expansion becomes a
         # cheap gather of (kp, slot) rows
