@@ -22,19 +22,18 @@ import jax.numpy as jnp
 def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """x shifted so result[r, c] = x[r + dy, c + dx], replicated at edges.
 
-    x: (..., H, W).
+    x: (..., H, W). Implemented as one edge-pad + a static slice so XLA can
+    fuse the slice into consumers (concatenate-based shifts materialize a
+    copy per neighbor).
     """
-    if dy:
-        if dy > 0:
-            x = jnp.concatenate([x[..., dy:, :], jnp.repeat(x[..., -1:, :], dy, axis=-2)], axis=-2)
-        else:
-            x = jnp.concatenate([jnp.repeat(x[..., :1, :], -dy, axis=-2), x[..., :dy, :]], axis=-2)
-    if dx:
-        if dx > 0:
-            x = jnp.concatenate([x[..., :, dx:], jnp.repeat(x[..., :, -1:], dx, axis=-1)], axis=-1)
-        else:
-            x = jnp.concatenate([jnp.repeat(x[..., :, :1], -dx, axis=-1), x[..., :, :dx]], axis=-1)
-    return x
+    h, w = x.shape[-2], x.shape[-1]
+    py = abs(dy)
+    px = abs(dx)
+    if not py and not px:
+        return x
+    pad = [(0, 0)] * (x.ndim - 2) + [(py, py), (px, px)]
+    xp = jnp.pad(x, pad, mode="edge")
+    return xp[..., py + dy: py + dy + h, px + dx: px + dx + w]
 
 
 def hessian_response_and_gradient(
