@@ -33,6 +33,10 @@ def save_sift(path: str, feats: dict, cfg: Optional[SiftConfig] = None,
 
 def save_sift_text(path: str, feats: dict, cfg: Optional[SiftConfig] = None) -> None:
     cfg = cfg or SiftConfig()
+    if cfg.compute_descriptors and feats["x"].shape[0] > 0:
+        from .native import write_sift_text
+        if write_sift_text(path, feats):
+            return
     n = feats["x"].shape[0]
     dim = feats["desc"].shape[1] if cfg.compute_descriptors else 0
     lines = [f"{n} {dim}"]

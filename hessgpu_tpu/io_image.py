@@ -68,6 +68,10 @@ def load_image(path: str) -> np.ndarray:
     """Load an image as uint8 (H, W) or (H, W, 3)."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".pgm", ".ppm", ".pnm"):
+        from .native import decode_pnm_gray
+        native = decode_pnm_gray(path)
+        if native is not None:
+            return native
         return load_pnm(path)
     from PIL import Image
     with Image.open(path) as im:

@@ -59,3 +59,36 @@ def test_viz_keypoint_render(gray_small):
     out = draw_keypoints(gray_small, feats)
     assert out.shape == gray_small.shape + (3,)
     assert out.max() <= 1.0 and (out != np.stack([gray_small] * 3, -1)).any()
+
+
+def test_native_io_available_and_consistent(tmp_path, rng):
+    """Native decode/write (libhessio) matches the Python implementations."""
+    from hessgpu_tpu import native
+    assert native.available(), "libhessio.so must be built (make -C csrc)"
+
+    arr = (rng.rand(17, 23) * 255).astype(np.uint8)
+    p = str(tmp_path / "t.pgm")
+    with open(p, "wb") as f:
+        f.write(b"P5\n23 17\n255\n")
+        f.write(arr.tobytes())
+    got = native.decode_pnm_gray(p)
+    np.testing.assert_array_equal(got, arr)
+
+    n = 5
+    feats = {
+        "x": rng.rand(n).astype(np.float32) * 100,
+        "y": rng.rand(n).astype(np.float32) * 100,
+        "sigma": rng.rand(n).astype(np.float32) + 1,
+        "theta": rng.rand(n).astype(np.float32),
+        "response": rng.randn(n).astype(np.float32) * 0.01,
+        "ftype": np.arange(n, dtype=np.int32) % 3,
+        "level": np.arange(n, dtype=np.int32),
+        "desc": np.abs(rng.randn(n, 128).astype(np.float32)) * 0.1,
+    }
+    from hessgpu_tpu.formats import load_sift_text
+    pn = str(tmp_path / "native.sift")
+    assert native.write_sift_text(pn, feats)
+    back = load_sift_text(pn)
+    np.testing.assert_allclose(back["x"], feats["x"], atol=0.01)
+    np.testing.assert_allclose(back["desc"], feats["desc"], atol=0.5 / 512)
+    np.testing.assert_array_equal(back["ftype"], feats["ftype"])
