@@ -13,7 +13,7 @@ import time
 import numpy as np
 
 REFERENCE_HZ = 14.3  # doc/statistics.pdf Exp #1, new packed, ~3082 features
-BATCH = 8
+BATCH = 4
 WARMUP = 2
 ITERS = 10
 

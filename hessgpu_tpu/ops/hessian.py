@@ -37,13 +37,16 @@ def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def hessian_response_and_gradient(
-    gauss: jnp.ndarray, norms: Sequence[float]
+    gauss: jnp.ndarray, norms: Sequence[float],
+    grad_levels: Sequence[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute per-level normalized det-of-Hessian response and gradients.
 
     gauss: (L, H, W) Gaussian stack.
     norms: per-level normalization = level_sigma^4 (the reference passes
            sigma^2 and squares it in the kernel, ProgramCU.cu:592).
+    grad_levels: level indices needing gradient/orientation maps (the
+    expensive sqrt/atan2); None = all. Other levels get zero maps.
     Returns (response, grad_mag, grad_rot), each (L, H, W).
     """
     v12 = _shift(gauss, -1, 0)   # row above
@@ -62,11 +65,22 @@ def hessian_response_and_gradient(
     norm = jnp.asarray(list(norms), dtype=gauss.dtype).reshape(-1, 1, 1)
     response = (lxx * lyy - lxy * lxy) * norm
 
-    dx = v23 - v21
-    dy = v32 - v12
-    grad = 0.5 * jnp.sqrt(dx * dx + dy * dy)
-    rot = jnp.where(grad == 0.0, 0.0, jnp.arctan2(dy, dx))
-    return response, grad, rot
+    L = gauss.shape[0]
+    levels = set(range(L)) if grad_levels is None \
+        else {int(l) for l in grad_levels}
+    zeros = jnp.zeros_like(gauss[0])
+    grads, rots = [], []
+    for l in range(L):
+        if l in levels:
+            dx = v23[l] - v21[l]
+            dy = v32[l] - v12[l]
+            g = 0.5 * jnp.sqrt(dx * dx + dy * dy)
+            grads.append(g)
+            rots.append(jnp.where(g == 0.0, 0.0, jnp.arctan2(dy, dx)))
+        else:
+            grads.append(zeros)
+            rots.append(zeros)
+    return response, jnp.stack(grads), jnp.stack(rots)
 
 
 def dog_response_and_gradient(

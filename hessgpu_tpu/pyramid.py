@@ -134,7 +134,8 @@ def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
         # Per-level norm = sigma^4, same across octaves (the reference's
         # octave term is deliberately disabled, PyramidCU.cpp:1569-1589).
         norms = [(p.level_sigma(l) ** 4) for l in range(p.level_min, p.level_max + 1)]
-        resp, grad, rot = hessian.hessian_response_and_gradient(gauss_oct, norms)
+        resp, grad, rot = hessian.hessian_response_and_gradient(
+            gauss_oct, norms, grad_levels=p.key_levels)
     else:
         resp, grad, rot = hessian.dog_response_and_gradient(gauss_oct)
 
