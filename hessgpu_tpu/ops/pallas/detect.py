@@ -1,0 +1,318 @@
+"""Fused Pallas detection kernel: det-of-Hessian response, gradients,
+3x3x3 NMS, edge rejection, subpixel refinement, and blob typing in one
+VMEM-resident pass.
+
+The XLA formulation (ops/hessian.py + ops/keypoint.py) materializes ~30
+shifted copies of each level in HBM; this kernel DMAs a row-block of the
+Gaussian stack once and produces every detection output for the block -
+identical math (the same where-masked tests and the same pivoted 3x3 solve
+as ops/keypoint.py, which remains the reference implementation for tests).
+
+Layout: grid over row blocks. Each program copies gauss[(L, BRH, Wp)]
+(2-row halo each side, edge-padded outside), computes responses for all L
+levels, then for each key level the full keypoint test plus gradient maps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..keypoint import TYPE_BRIGHT_BLOB, TYPE_DARK_BLOB, TYPE_NONE, TYPE_SADDLE
+
+_BR = 128
+
+
+def _solve3(a0, a1, a2):
+    """Vectorized pivoted 3x3 solve (same as ops/keypoint._solve3_pivoted)."""
+    def scale_row(row):
+        s = jnp.where(row[0] > 0, 1.0, -1.0)
+        return tuple(s * c for c in row)
+
+    a0 = scale_row(a0)
+    a1 = scale_row(a1)
+    a2 = scale_row(a2)
+
+    maxa = jnp.maximum(jnp.maximum(a0[0], a1[0]), a2[0])
+    ok0 = maxa >= 1e-10
+    swap1 = maxa == a1[0]
+    swap2 = (~swap1) & (maxa == a2[0])
+
+    n0 = tuple(jnp.where(swap1, a1[i], jnp.where(swap2, a2[i], a0[i]))
+               for i in range(4))
+    n1 = tuple(jnp.where(swap1, a0[i], a1[i]) for i in range(4))
+    n2 = tuple(jnp.where(swap2, a0[i], a2[i]) for i in range(4))
+    a0, a1, a2 = n0, n1, n2
+
+    inv = 1.0 / jnp.where(ok0, a0[0], 1.0)
+    a0 = (a0[0], a0[1] * inv, a0[2] * inv, a0[3] * inv)
+    a1 = (a1[0], a1[1] - a1[0] * a0[1], a1[2] - a1[0] * a0[2],
+          a1[3] - a1[0] * a0[3])
+    a2 = (a2[0], a2[1] - a2[0] * a0[1], a2[2] - a2[0] * a0[2],
+          a2[3] - a2[0] * a0[3])
+
+    swapb = jnp.abs(a2[1]) > jnp.abs(a1[1])
+    b1 = tuple(jnp.where(swapb, a2[i], a1[i]) for i in range(4))
+    b2 = tuple(jnp.where(swapb, a1[i], a2[i]) for i in range(4))
+    a1, a2 = b1, b2
+
+    ok1 = ok0 & (jnp.abs(a1[1]) >= 1e-10)
+    inv1 = 1.0 / jnp.where(ok1, a1[1], 1.0)
+    a1 = (a1[0], a1[1], a1[2] * inv1, a1[3] * inv1)
+    a2z = a2[2] - a2[1] * a1[2]
+    a2w = a2[3] - a2[1] * a1[3]
+
+    ok2 = ok1 & (jnp.abs(a2z) >= 1e-10)
+    ds = a2w / jnp.where(ok2, a2z, 1.0)
+    dy = a1[3] - ds * a1[2]
+    dx = a0[3] - ds * a0[2] - dy * a0[1]
+    zero = jnp.zeros_like(ds)
+    return ok2, jnp.where(ok2, dx, zero), jnp.where(ok2, dy, zero), \
+        jnp.where(ok2, ds, zero)
+
+
+def detect_octave_pallas(
+    gauss_oct: jnp.ndarray,
+    norms: Sequence[float],
+    key_levels: Sequence[int],
+    threshold: float,
+    edge_threshold: float,
+    subpixel: bool = True,
+    darkness_adaption: bool = False,
+    interpret: bool = False,
+):
+    """Fused detection for one octave.
+
+    gauss_oct: (L, H, W) Gaussian stack.
+    Returns (per-key-level list of KeypointMaps-like tuples, grad (L, H, W),
+    rot (L, H, W)) - gradient maps only populated on key levels.
+    """
+    from ..keypoint import KeypointMaps
+
+    L, H, W = gauss_oct.shape
+    norms = [float(n) for n in norms]
+    key_levels = [int(k) for k in key_levels]
+    NK = len(key_levels)
+    thr0 = (0.8 if subpixel else 1.0) * threshold
+    te = (edge_threshold + 1.0) ** 2 / edge_threshold
+
+    if H < 16 or W < 16:
+        # tiny octaves: XLA fallback (identical reference math)
+        from .. import hessian as hops
+        from ..keypoint import detect_keypoints_level
+        resp, grad, rot = hops.hessian_response_and_gradient(
+            gauss_oct, norms, grad_levels=key_levels)
+        maps = [detect_keypoints_level(
+            resp[kl - 1], resp[kl], resp[kl + 1], gauss_oct[kl],
+            threshold=threshold, edge_threshold=edge_threshold,
+            subpixel=subpixel, hessian=True,
+            darkness_adaption=darkness_adaption) for kl in key_levels]
+        return maps, grad, rot
+
+    nblk = pl.cdiv(H, _BR)
+    BRH = _BR + 8           # 2-row halos each side, rounded to sublanes
+    Wp = (W + 2 + 2 + 127) // 128 * 128
+
+    # edge-pad (2 px left/top; bottom/right up to the aligned extents)
+    bot = nblk * _BR + BRH - (H + 2)
+    gp = jnp.pad(gauss_oct, ((0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
+                 mode="edge")
+
+    def kernel(g_hbm, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref, type_ref,
+               grad_ref, rot_ref, gbuf, sem):
+        blk = pl.program_id(0)
+        row0 = pl.multiple_of(blk * _BR, 8)
+        cp = pltpu.make_async_copy(
+            g_hbm.at[:, pl.ds(row0, BRH), pl.ds(0, Wp)], gbuf, sem)
+        cp.start()
+        cp.wait()
+
+        g = gbuf[:, :, :]
+
+        # absolute coordinates of output row j / col c
+        rows_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (_BR, W), 0)
+        cols_idx = jax.lax.broadcasted_iota(jnp.int32, (_BR, W), 1)
+        interior = (rows_idx > 0) & (rows_idx < H - 1) \
+            & (cols_idx > 0) & (cols_idx < W - 1)
+
+        # responses: level l at block-relative response row i corresponds to
+        # output row i-1 (resp row r needs gauss rows r-1..r+1).
+        # gauss buffer row t = global row row0 + t - 2 (2-row top pad).
+        # response at buffer-row t (for t in 1..BRH-1) = global row0+t-2.
+        def resp_at(l):
+            # returns response over buffer rows [1, BRH-1) and cols [0, W+2)
+            # in a (BRH-2, W+2) array whose [i, c] = response at global
+            # (row0 + i - 1, c - 1)
+            gl = g[l]
+            c = gl[1:-1, 1:-1]
+            lxx = gl[1:-1, :-2] - 2.0 * c + gl[1:-1, 2:]
+            lyy = gl[:-2, 1:-1] - 2.0 * c + gl[2:, 1:-1]
+            lxy = (gl[:-2, 2:] - gl[:-2, :-2] + gl[2:, :-2] - gl[2:, 2:]) \
+                * 0.25
+            return (lxx * lyy - lxy * lxy) * norms[l]
+
+        resp = [resp_at(l) for l in range(L)]
+        # resp[l][i, c]: global row row0 + i - 1, global col c - 1
+        # output row j -> i = j + 1; output col cc -> c = cc + 1
+
+        def crop(a, di, dj):
+            # a indexed like resp; value at (output row j + di, col cc + dj)
+            return a[1 + di: 1 + di + _BR, 1 + dj: 1 + dj + W]
+
+        for oi, kl in enumerate(key_levels):
+            cur = resp[kl]
+            prv = resp[kl - 1]
+            nxt = resp[kl + 1]
+
+            v = crop(cur, 0, 0)
+            left = crop(cur, 0, -1)
+            right = crop(cur, 0, 1)
+            up = crop(cur, -1, 0)
+            down = crop(cur, 1, 0)
+            tl = crop(cur, -1, -1)
+            tr = crop(cur, -1, 1)
+            bl = crop(cur, 1, -1)
+            br = crop(cur, 1, 1)
+
+            rest_max = jnp.maximum(up, down)
+            rest_min = jnp.minimum(up, down)
+            for a in (tl, tr, bl, br):
+                rest_max = jnp.maximum(rest_max, a)
+                rest_min = jnp.minimum(rest_min, a)
+            for other in (prv, nxt):
+                for di in (-1, 0, 1):
+                    for dj in (-1, 0, 1):
+                        a = crop(other, di, dj)
+                        rest_max = jnp.maximum(rest_max, a)
+                        rest_min = jnp.minimum(rest_min, a)
+
+            lr_max = jnp.maximum(left, right)
+            lr_min = jnp.minimum(left, right)
+            is_max = (v > lr_max) & (v >= rest_max) & (v >= 0)
+            is_min = (v < lr_min) & (v <= rest_min) & (v <= 0)
+
+            if darkness_adaption:
+                gc = g[kl][2:2 + _BR, 2:2 + W]
+                thr_map = threshold * jnp.minimum(2.0 * gc + 0.1, 1.0)
+            else:
+                thr_map = threshold
+            extremum = (jnp.abs(v) > 0.8 * thr_map if subpixel
+                        else jnp.abs(v) > thr_map) & (is_max | is_min)
+
+            fx = 0.5 * (right - left)
+            fy = 0.5 * (down - up)
+            vx2 = 2.0 * v
+            fxx = left + right - vx2
+            fyy = up + down - vx2
+            fxy = 0.25 * (br + tl - bl - tr)
+            det2 = fxx * fyy - fxy * fxy
+            tr2 = (fxx + fyy) ** 2
+            extremum &= (det2 > 0) & (tr2 <= te * det2)
+
+            if subpixel:
+                cn = crop(nxt, 0, 0)
+                cp_ = crop(prv, 0, 0)
+                fs = 0.5 * (cn - cp_)
+                fss = cn + cp_ - vx2
+                fxs = 0.25 * (crop(nxt, 0, 1) + crop(prv, 0, -1)
+                              - crop(nxt, 0, -1) - crop(prv, 0, 1))
+                fys = 0.25 * (crop(nxt, 1, 0) + crop(prv, -1, 0)
+                              - crop(nxt, -1, 0) - crop(prv, 1, 0))
+                ok, dx, dy, dssub = _solve3(
+                    (fxx, fxy, fxs, -fx), (fxy, fyy, fys, -fy),
+                    (fxs, fys, fss, -fs))
+                refined = v + 0.5 * (dx * fx + dy * fy + dssub * fs)
+                response = jnp.where(ok, refined, v)
+                offset_ok = jnp.where(
+                    ok,
+                    (jnp.abs(response) > thr_map)
+                    & (jnp.abs(dssub) < 1.0) & (jnp.abs(dx) < 1.0)
+                    & (jnp.abs(dy) < 1.0),
+                    True)
+                extremum &= offset_ok
+            else:
+                dx = jnp.zeros_like(v)
+                dy = jnp.zeros_like(v)
+                dssub = jnp.zeros_like(v)
+                response = v
+
+            valid = extremum & interior
+
+            gl = g[kl]
+            gc = gl[2:2 + _BR, 2:2 + W]
+            gleft = gl[2:2 + _BR, 1:1 + W]
+            gright = gl[2:2 + _BR, 3:3 + W]
+            g_lxx = gleft - 2.0 * gc + gright
+            blob = jnp.where(g_lxx > 0, TYPE_DARK_BLOB, TYPE_BRIGHT_BLOB)
+            ftype = jnp.where(response < 0, TYPE_SADDLE, blob)
+            ftype = jnp.where(valid, ftype, TYPE_NONE).astype(jnp.int32)
+
+            # fp16 response quantization (reference packs half floats)
+            response = response.astype(jnp.float16).astype(jnp.float32)
+
+            valid_ref[oi] = valid.astype(jnp.int32)
+            resp_ref[oi] = jnp.where(valid, response, 0.0)
+            dx_ref[oi] = dx
+            dy_ref[oi] = dy
+            ds_ref[oi] = dssub
+            type_ref[oi] = ftype
+
+            # gradient/rotation of the Gaussian at this key level
+            gup = gl[1:1 + _BR, 2:2 + W]
+            gdown = gl[3:3 + _BR, 2:2 + W]
+            dxg = gright - gleft
+            dyg = gdown - gup
+            mag = 0.5 * jnp.sqrt(dxg * dxg + dyg * dyg)
+            grad_ref[oi] = mag
+            rot_ref[oi] = jnp.where(mag == 0.0, 0.0, jnp.arctan2(dyg, dxg))
+
+        _ = sem  # silence unused in interpret mode
+
+    blockspec = pl.BlockSpec((NK, _BR, W), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((NK, H, W), jnp.int32),    # valid
+            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # response
+            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # dx
+            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # dy
+            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # ds
+            jax.ShapeDtypeStruct((NK, H, W), jnp.int32),    # type
+            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # grad
+            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # rot
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(blockspec for _ in range(8)),
+        scratch_shapes=[
+            pltpu.VMEM((L, BRH, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(gp)
+
+    validk, respk, dxk, dyk, dsk, typek, gradk, rotk = outs
+
+    maps = []
+    zeros = jnp.zeros((H, W), jnp.float32)
+    grad_full = []
+    rot_full = []
+    ki = {kl: i for i, kl in enumerate(key_levels)}
+    for l in range(L):
+        if l in ki:
+            grad_full.append(gradk[ki[l]])
+            rot_full.append(rotk[ki[l]])
+        else:
+            grad_full.append(zeros)
+            rot_full.append(zeros)
+    for i, kl in enumerate(key_levels):
+        maps.append(KeypointMaps(
+            valid=validk[i].astype(jnp.bool_), response=respk[i],
+            dx=dxk[i], dy=dyk[i], ds=dsk[i], ftype=typek[i]))
+    return maps, jnp.stack(grad_full), jnp.stack(rot_full)

@@ -134,6 +134,14 @@ def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
         # Per-level norm = sigma^4, same across octaves (the reference's
         # octave term is deliberately disabled, PyramidCU.cpp:1569-1589).
         norms = [(p.level_sigma(l) ** 4) for l in range(p.level_min, p.level_max + 1)]
+        if cfg.use_pallas and jax.default_backend() != "cpu":
+            from .ops.pallas.detect import detect_octave_pallas
+            maps, grad, rot = detect_octave_pallas(
+                gauss_oct, norms, p.key_levels,
+                threshold=p.threshold, edge_threshold=p.edge_threshold,
+                subpixel=cfg.subpixel,
+                darkness_adaption=cfg.darkness_adaption)
+            return maps, grad, rot
         resp, grad, rot = hessian.hessian_response_and_gradient(
             gauss_oct, norms, grad_levels=p.key_levels)
     else:
