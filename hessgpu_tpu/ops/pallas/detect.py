@@ -282,9 +282,8 @@ def detect_octave_pallas(
             ftype = jnp.where(response < 0, TYPE_SADDLE, blob)
             ftype = jnp.where(valid, ftype, TYPE_NONE).astype(jnp.int32)
 
-            # fp16 response quantization (reference packs half floats)
-            response = response.astype(jnp.float16).astype(jnp.float32)
-
+            # (fp16 response quantization happens outside the kernel -
+            # Mosaic has no f32->f16 truncation)
             valid_ref[oi] = valid.astype(jnp.int32)
             resp_ref[oi] = jnp.where(valid, response, 0.0)
             dx_ref[oi] = dx
@@ -328,6 +327,8 @@ def detect_octave_pallas(
     )(gp)
 
     validk, respk, dxk, dyk, dsk, typek, gradk, rotk = outs
+    # reference stores responses as packed half floats (ProgramCU.cu:865)
+    respk = respk.astype(jnp.float16).astype(jnp.float32)
 
     maps = []
     zeros = jnp.zeros((H, W), jnp.float32)
