@@ -278,9 +278,12 @@ def detect_octave_pallas(
             gleft = gl[2:2 + _BR, 1:1 + W]
             gright = gl[2:2 + _BR, 3:3 + W]
             g_lxx = gleft - 2.0 * gc + gright
-            blob = jnp.where(g_lxx > 0, TYPE_DARK_BLOB, TYPE_BRIGHT_BLOB)
-            ftype = jnp.where(response < 0, TYPE_SADDLE, blob)
-            ftype = jnp.where(valid, ftype, TYPE_NONE).astype(jnp.int32)
+            # int32 constants: weak-typed literals make i8 selects, which
+            # Mosaic cannot truncate masks for
+            blob = jnp.where(g_lxx > 0, jnp.int32(TYPE_DARK_BLOB),
+                             jnp.int32(TYPE_BRIGHT_BLOB))
+            ftype = jnp.where(response < 0, jnp.int32(TYPE_SADDLE), blob)
+            ftype = jnp.where(valid, ftype, jnp.int32(TYPE_NONE))
 
             # (fp16 response quantization happens outside the kernel -
             # Mosaic has no f32->f16 truncation)
