@@ -258,12 +258,12 @@ def detect_octave_pallas(
                     (fxs, fys, fss, -fs))
                 refined = v + 0.5 * (dx * fx + dy * fy + dssub * fs)
                 response = jnp.where(ok, refined, v)
-                offset_ok = jnp.where(
-                    ok,
-                    (jnp.abs(response) > thr_map)
-                    & (jnp.abs(dssub) < 1.0) & (jnp.abs(dx) < 1.0)
-                    & (jnp.abs(dy) < 1.0),
-                    True)
+                # boolean algebra instead of where(ok, ..., True): literal
+                # bool branches make i8 selects Mosaic can't mask-truncate
+                passed = (jnp.abs(response) > thr_map) \
+                    & (jnp.abs(dssub) < 1.0) & (jnp.abs(dx) < 1.0) \
+                    & (jnp.abs(dy) < 1.0)
+                offset_ok = jnp.logical_not(ok) | passed
                 extremum &= offset_ok
             else:
                 dx = jnp.zeros_like(v)
