@@ -94,6 +94,40 @@ class HessianSift:
         if self._last_feats is not None:
             save_sift(path, self._last_feats, self.config)
 
+    # -- keypoint-list re-entry (reference RunSIFT(num, keys, ...)) --------
+    def run_with_keypoints(self, image, keys: np.ndarray,
+                           has_orientation: bool = True) -> dict:
+        """Describe externally supplied keypoints (SiftGPU::RunSIFT(num,
+        keys, has_orientation), reference SiftGPU.cpp:307-315).
+
+        keys: (N, >=3) columns x, y, sigma[, theta]."""
+        from .describe import describe_keypoints
+        img = load_image(image) if isinstance(image, str) else image
+        img, ds = limit_working_size(img, self.config.max_dim)
+        self._last_image = img
+        out = describe_keypoints(img, keys, self.config,
+                                 has_orientation=has_orientation)
+        feats = {
+            "x": out["x"], "y": out["y"], "sigma": out["sigma"],
+            "theta": out["theta"],
+            "response": np.zeros_like(out["x"]),
+            "level": np.zeros(len(out["x"]), np.int32),
+            "ftype": np.zeros(len(out["x"]), np.int32),
+            "desc": out["desc"],
+        }
+        self._last_feats = feats
+        return feats
+
+    def set_keypoint_list(self, keys: np.ndarray,
+                          has_orientation: bool = True) -> None:
+        """Stash a keypoint list; the next run_on_current() describes it."""
+        self._pending_keys = (np.asarray(keys, np.float32), has_orientation)
+
+    def run_on_current(self) -> dict:
+        """Describe the stashed keypoint list on the last-loaded image."""
+        keys, has_o = self._pending_keys
+        return self.run_with_keypoints(self._last_image, keys, has_o)
+
     # -- reference API parity ----------------------------------------------
     def parse_param(self, args) -> None:
         """Reconfigure with reference-style CLI options (SiftGPU::ParseParam)."""

@@ -52,3 +52,21 @@ def test_describe_preserves_input_order(gray_small, detected):
     out_p = describe_keypoints(gray_small, keys[perm], SiftConfig())
     np.testing.assert_allclose(out_p["desc"], out_f["desc"][perm], atol=1e-5)
     np.testing.assert_array_equal(out_p["x"], out_f["x"][perm])
+
+
+def test_facade_run_with_keypoints(gray_small, detected):
+    """HessianSift.run_with_keypoints / set_keypoint_list round-trip."""
+    from hessgpu_tpu import HessianSift, SiftConfig
+    n = min(20, detected["x"].shape[0])
+    keys = np.stack([detected["x"][:n], detected["y"][:n],
+                     detected["sigma"][:n], detected["theta"][:n]], axis=1)
+    sift = HessianSift(SiftConfig())
+    out = sift.run_with_keypoints(gray_small, keys)
+    assert out["desc"].shape == (n, 128)
+    dots = np.sum(out["desc"] * detected["desc"][:n], axis=1)
+    assert (dots > 0.999).mean() > 0.85
+
+    sift.run(gray_small)          # loads the image
+    sift.set_keypoint_list(keys)
+    out2 = sift.run_on_current()
+    np.testing.assert_allclose(out2["desc"], out["desc"], atol=1e-5)
