@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..keypoint import TYPE_BRIGHT_BLOB, TYPE_DARK_BLOB, TYPE_NONE, TYPE_SADDLE
 
-_BR = 128
+_BR = 64
 
 _PI = math.pi
 _TAN_PI_8 = 0.4142135623730951
