@@ -153,12 +153,16 @@ def detect_octave_pallas(
     gp = jnp.pad(gauss_oct, ((0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
                  mode="edge")
 
-    def kernel(g_hbm, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref, type_ref,
-               grad_ref, rot_ref, gbuf, sem):
+    def kernel_for(kl):
+      def kernel(g_hbm, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref,
+                 type_ref, grad_ref, rot_ref, gbuf, sem):
         blk = pl.program_id(0)
         row0 = pl.multiple_of(blk * _BR, 8)
+        # only the 3 planes around the key level are needed (the gauss
+        # plane for typing IS plane kl)
         cp = pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(row0, BRH), pl.ds(0, Wp)], gbuf, sem)
+            g_hbm.at[pl.ds(kl - 1, 3), pl.ds(row0, BRH), pl.ds(0, Wp)],
+            gbuf, sem)
         cp.start()
         cp.wait()
 
@@ -170,15 +174,11 @@ def detect_octave_pallas(
         interior = (rows_idx > 0) & (rows_idx < H - 1) \
             & (cols_idx > 0) & (cols_idx < W - 1)
 
-        # responses: level l at block-relative response row i corresponds to
-        # output row i-1 (resp row r needs gauss rows r-1..r+1).
-        # gauss buffer row t = global row row0 + t - 2 (2-row top pad).
-        # response at buffer-row t (for t in 1..BRH-1) = global row0+t-2.
-        def resp_at(l):
-            # returns response over buffer rows [1, BRH-1) and cols [0, W+2)
-            # in a (BRH-2, W+2) array whose [i, c] = response at global
-            # (row0 + i - 1, c - 1)
-            gl = g[l]
+        # responses: gauss buffer row t = global row row0 + t - 2.
+        def resp_at(pi, l):
+            # (BRH-2, W+2) response of plane pi: [i, c] = response at
+            # global (row0 + i - 1, c - 1)
+            gl = g[pi]
             c = gl[1:-1, 1:-1]
             lxx = gl[1:-1, :-2] - 2.0 * c + gl[1:-1, 2:]
             lyy = gl[:-2, 1:-1] - 2.0 * c + gl[2:, 1:-1]
@@ -186,18 +186,15 @@ def detect_octave_pallas(
                 * 0.25
             return (lxx * lyy - lxy * lxy) * norms[l]
 
-        resp = [resp_at(l) for l in range(L)]
-        # resp[l][i, c]: global row row0 + i - 1, global col c - 1
-        # output row j -> i = j + 1; output col cc -> c = cc + 1
-
         def crop(a, di, dj):
             # a indexed like resp; value at (output row j + di, col cc + dj)
             return a[1 + di: 1 + di + _BR, 1 + dj: 1 + dj + W]
 
-        for oi, kl in enumerate(key_levels):
-            cur = resp[kl]
-            prv = resp[kl - 1]
-            nxt = resp[kl + 1]
+        if True:
+            oi = 0
+            prv = resp_at(0, kl - 1)
+            cur = resp_at(1, kl)
+            nxt = resp_at(2, kl + 1)
 
             v = crop(cur, 0, 0)
             left = crop(cur, 0, -1)
@@ -227,7 +224,7 @@ def detect_octave_pallas(
             is_min = (v < lr_min) & (v <= rest_min) & (v <= 0)
 
             if darkness_adaption:
-                gc = g[kl][2:2 + _BR, 2:2 + W]
+                gc = g[1][2:2 + _BR, 2:2 + W]
                 thr_map = threshold * jnp.minimum(2.0 * gc + 0.1, 1.0)
             else:
                 thr_map = threshold
@@ -273,7 +270,7 @@ def detect_octave_pallas(
 
             valid = extremum & interior
 
-            gl = g[kl]
+            gl = g[1]  # the key level's Gaussian plane (middle of the 3)
             gc = gl[2:2 + _BR, 2:2 + W]
             gleft = gl[2:2 + _BR, 1:1 + W]
             gright = gl[2:2 + _BR, 3:3 + W]
@@ -287,12 +284,12 @@ def detect_octave_pallas(
 
             # (fp16 response quantization happens outside the kernel -
             # Mosaic has no f32->f16 truncation)
-            valid_ref[oi] = valid.astype(jnp.int32)
-            resp_ref[oi] = jnp.where(valid, response, 0.0)
-            dx_ref[oi] = dx
-            dy_ref[oi] = dy
-            ds_ref[oi] = dssub
-            type_ref[oi] = ftype
+            valid_ref[:, :] = valid.astype(jnp.int32)
+            resp_ref[:, :] = jnp.where(valid, response, 0.0)
+            dx_ref[:, :] = dx
+            dy_ref[:, :] = dy
+            ds_ref[:, :] = dssub
+            type_ref[:, :] = ftype
 
             # gradient/rotation of the Gaussian at this key level
             gup = gl[1:1 + _BR, 2:2 + W]
@@ -300,53 +297,42 @@ def detect_octave_pallas(
             dxg = gright - gleft
             dyg = gdown - gup
             mag = 0.5 * jnp.sqrt(dxg * dxg + dyg * dyg)
-            grad_ref[oi] = mag
-            rot_ref[oi] = jnp.where(mag == 0.0, 0.0, _atan2(dyg, dxg))
+            grad_ref[:, :] = mag
+            rot_ref[:, :] = jnp.where(mag == 0.0, 0.0, _atan2(dyg, dxg))
 
         _ = sem  # silence unused in interpret mode
+      return kernel
 
-    blockspec = pl.BlockSpec((NK, _BR, W), lambda i: (0, i, 0),
+    # one pallas_call per key level: 8 full-size outputs per call stay
+    # within XLA's scoped-VMEM budget (a 3-level batched variant OOMs)
+    blockspec = pl.BlockSpec((_BR, W), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nblk,),
-        out_shape=(
-            jax.ShapeDtypeStruct((NK, H, W), jnp.int32),    # valid
-            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # response
-            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # dx
-            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # dy
-            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # ds
-            jax.ShapeDtypeStruct((NK, H, W), jnp.int32),    # type
-            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # grad
-            jax.ShapeDtypeStruct((NK, H, W), jnp.float32),  # rot
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=tuple(blockspec for _ in range(8)),
-        scratch_shapes=[
-            pltpu.VMEM((L, BRH, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(gp)
-
-    validk, respk, dxk, dyk, dsk, typek, gradk, rotk = outs
-    # reference stores responses as packed half floats (ProgramCU.cu:865)
-    respk = respk.astype(jnp.float16).astype(jnp.float32)
-
     maps = []
     zeros = jnp.zeros((H, W), jnp.float32)
-    grad_full = []
-    rot_full = []
-    ki = {kl: i for i, kl in enumerate(key_levels)}
-    for l in range(L):
-        if l in ki:
-            grad_full.append(gradk[ki[l]])
-            rot_full.append(rotk[ki[l]])
-        else:
-            grad_full.append(zeros)
-            rot_full.append(zeros)
-    for i, kl in enumerate(key_levels):
+    grad_full = [zeros] * L
+    rot_full = [zeros] * L
+    for kl in key_levels:
+        outs = pl.pallas_call(
+            kernel_for(kl),
+            grid=(nblk,),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((H, W), dt) for dt in
+                (jnp.int32, jnp.float32, jnp.float32, jnp.float32,
+                 jnp.float32, jnp.int32, jnp.float32, jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=tuple(blockspec for _ in range(8)),
+            scratch_shapes=[
+                pltpu.VMEM((3, BRH, Wp), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(gp)
+        validk, respk, dxk, dyk, dsk, typek, gradk, rotk = outs
+        # reference stores responses as packed half floats (ProgramCU.cu:865)
+        respk = respk.astype(jnp.float16).astype(jnp.float32)
         maps.append(KeypointMaps(
-            valid=validk[i].astype(jnp.bool_), response=respk[i],
-            dx=dxk[i], dy=dyk[i], ds=dsk[i], ftype=typek[i]))
+            valid=validk.astype(jnp.bool_), response=respk,
+            dx=dxk, dy=dyk, ds=dsk, ftype=typek))
+        grad_full[kl] = gradk
+        rot_full[kl] = rotk
     return maps, jnp.stack(grad_full), jnp.stack(rot_full)
