@@ -131,8 +131,9 @@ def detect_octave_pallas(
     thr0 = (0.8 if subpixel else 1.0) * threshold
     te = (edge_threshold + 1.0) ** 2 / edge_threshold
 
-    if H < 16 or W < 16:
-        # tiny octaves: XLA fallback (identical reference math)
+    if H < 192 or W < 192:
+        # small octaves: per-call fixed costs beat the fusion win - use the
+        # XLA path (identical reference math)
         from .. import hessian as hops
         from ..keypoint import detect_keypoints_level
         resp, grad, rot = hops.hessian_response_and_gradient(
