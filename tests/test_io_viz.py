@@ -92,3 +92,16 @@ def test_native_io_available_and_consistent(tmp_path, rng):
     np.testing.assert_allclose(back["x"], feats["x"], atol=0.01)
     np.testing.assert_allclose(back["desc"], feats["desc"], atol=0.5 / 512)
     np.testing.assert_array_equal(back["ftype"], feats["ftype"])
+
+
+def test_dump_views_end_to_end(tmp_path, gray_small):
+    """The 7-view dump (reference viewer parity) runs and writes files."""
+    from hessgpu_tpu.utils.viz import dump_views
+    out = str(tmp_path / "views")
+    dump_views((gray_small * 255).astype(np.uint8), out_dir=out)
+    names = set(os.listdir(out))
+    assert "0_input.png" in names
+    assert "6_keypoints.png" in names
+    assert any(n.startswith("1_gauss") for n in names)
+    assert any(n.startswith("3_resp") for n in names)
+    assert any(n.startswith("4_grad") for n in names)
