@@ -164,92 +164,6 @@ def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
     return maps, grad, rot
 
 
-def _apply_topk(lists: List[FeatureList], k: int) -> List[FeatureList]:
-    """Keep the k keypoints with largest |response| across all levels.
-
-    Behavior-equivalent to PyramidCU::SelectTopK (PyramidCU.cpp:1881-1989):
-    global sort by |response| desc, keep first k, preserve within-level
-    order. Ties at the threshold are broken by global list order.
-    """
-    absr = jnp.concatenate([
-        jnp.where(fl.valid, jnp.abs(fl.response), -jnp.inf) for fl in lists
-    ])
-    n = absr.shape[0]
-    kk = min(k, n)
-    topv = jax.lax.top_k(absr, kk)[0]
-    vk = topv[-1]  # k-th largest (or -inf if fewer)
-
-    above = absr > vk
-    n_above = jnp.sum(above.astype(jnp.int32))
-    ties = absr == vk
-    tie_rank = jnp.cumsum(ties.astype(jnp.int32))
-    keep = above | (ties & (tie_rank <= (kk - n_above)))
-
-    out = []
-    off = 0
-    for fl in lists:
-        cap = fl.capacity
-        sel = keep[off:off + cap] & fl.valid
-        off += cap
-        cnt, (xo, yo, so, to, ro, fo), slot_valid = compact_mask(
-            sel, [fl.x, fl.y, fl.sigma, fl.theta, fl.response, fl.ftype], cap)
-        out.append(FeatureList(x=xo, y=yo, sigma=so, theta=to, response=ro,
-                               ftype=fo, valid=slot_valid))
-    return out
-
-
-def _apply_level_truncation(lists: List[FeatureList], k: int,
-                            keep_lowest: bool) -> List[FeatureList]:
-    """-tc1/-tc2: drop whole levels until under the count threshold.
-
-    Reference: SiftPyramid::LimitFeatureCount (SiftPyramid.cpp:224-277).
-    keep_lowest=True keeps small-scale levels (-tc2); False drops them first.
-    """
-    counts = jnp.stack([fl.count() for fl in lists])
-    total = jnp.sum(counts)
-    if keep_lowest:
-        # keep levels while cumulative count stays under k (scan low->high)
-        cum = jnp.cumsum(counts)
-        keep_level = (cum - counts) < k  # level kept if it starts below k
-    else:
-        # drop from the lowest levels while remaining total still > k
-        suffix = total - (jnp.cumsum(counts) - counts)  # total from level i on
-        keep_level = suffix <= k
-        # always keep at least the last level set that brings us under
-        first_keep = jnp.argmax(keep_level)
-        keep_level = jnp.arange(counts.shape[0]) >= jnp.where(
-            jnp.any(keep_level), first_keep, counts.shape[0] - 1)
-    out = []
-    for i, fl in enumerate(lists):
-        out.append(fl._replace(valid=fl.valid & keep_level[i]))
-    return out
-
-
-def _expand_orientations(fl: FeatureList, thetas: jnp.ndarray,
-                         ovalid: jnp.ndarray, ecap: int) -> FeatureList:
-    """Duplicate keypoints per orientation into a fixed-capacity list.
-
-    Device-side equivalent of ReshapeFeatureListCPU (PyramidCU.cpp:720-924).
-    Order: keypoint-major, orientations by descending vote - same as the
-    reference's expansion order.
-    """
-    K = fl.capacity
-    rep = lambda a: jnp.repeat(a, 4)
-    mask = (ovalid & fl.valid[:, None]).reshape(-1)
-    cnt, (xo, yo, so, to, ro, fo), slot_valid = compact_mask(
-        mask,
-        [rep(fl.x), rep(fl.y), rep(fl.sigma), thetas.reshape(-1),
-         rep(fl.response), rep(fl.ftype)],
-        ecap,
-    )
-    return FeatureList(x=xo, y=yo, sigma=so, theta=to, response=ro, ftype=fo,
-                       valid=slot_valid)
-
-
-# ---------------------------------------------------------------------------
-# full pipeline
-# ---------------------------------------------------------------------------
-
 class GlobalTable(NamedTuple):
     """Cross-level compacted keypoint table (level coordinates)."""
     x: jnp.ndarray
