@@ -133,6 +133,13 @@ def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin):
 
     weight = jnp.where(base_mask, gauss_w * gwin, 0.0)
 
+    # per-bin weight fields computed once: g[b] = w1*[ob==b] + w2*[ob+1==b]
+    # (keeps the inner cell/bin loop to one multiply + one reduction)
+    gbin = []
+    for b in range(8):
+        gbin.append(jnp.where(ob == b, w1, 0.0)
+                    + jnp.where(((ob + 1) & 7) == b, w2, 0.0))
+
     # accumulate the 128 cell/bin sums into a (1, 128) lane-masked vector -
     # Mosaic cannot reshape a (16, 8) vector into 128 lanes
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -143,12 +150,8 @@ def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin):
         for cxi in range(4):
             ax = jnp.maximum(0.0, 1.0 - jnp.abs(cu - cxi))
             cw = weight * ay * ax
-            cw1 = cw * w1
-            cw2 = cw * w2
             for b in range(8):
-                contrib = jnp.where(ob == b, cw1, 0.0) + \
-                    jnp.where(((ob + 1) & 7) == b, cw2, 0.0)
-                ssum = jnp.sum(contrib)
+                ssum = jnp.sum(cw * gbin[b])
                 total = total + jnp.where(lane == idx, ssum, 0.0)
                 idx += 1
     return total  # (1, 128)
