@@ -21,7 +21,6 @@ row/col argmax reductions become one matmul and two argmax/masks:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

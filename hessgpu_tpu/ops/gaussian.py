@@ -9,7 +9,7 @@ Pallas kernel (ops/pallas/conv.py) replaces the hot path when enabled.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ carry everything:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -32,9 +32,9 @@ from .config import (SiftConfig, TRUNCATE_KEEP_HIGHEST_LEVELS,
 from .features import FeatureTable
 from .ops import gaussian, hessian, keypoint, resize
 from .ops.compaction import FeatureList, compact_mask, compact_level_keypoints
-from .ops.descriptor import (compute_descriptors, compute_descriptors_flat,
+from .ops.descriptor import (compute_descriptors_flat,
                              descriptor_window_size)
-from .ops.orientation import compute_orientations, compute_orientations_flat
+from .ops.orientation import compute_orientations_flat
 
 TWO_PI = 2.0 * math.pi
 

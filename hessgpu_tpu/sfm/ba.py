@@ -19,11 +19,10 @@ x_cam = R_c @ X + t_c; projection is pinhole with per-camera (f, cx, cy).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class BAProblem(NamedTuple):

@@ -15,12 +15,10 @@ zero-weight entries, so sharding is trivial and exact.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .ba import BAProblem, BAState, so3_exp

@@ -5,8 +5,6 @@ ATE-parity harness for the north-star SfM benchmark (BASELINE.json config 5).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 

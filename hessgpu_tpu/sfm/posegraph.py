@@ -12,11 +12,10 @@ predicts R_ij = R_j R_i^T, t_ij = t_j - R_j R_i^T t_i.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .ba import so3_exp
 

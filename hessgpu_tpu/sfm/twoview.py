@@ -11,11 +11,10 @@ of the classic sequential loop.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class TwoViewResult(NamedTuple):

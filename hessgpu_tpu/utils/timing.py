@@ -10,7 +10,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import OrderedDict
-from typing import Dict, Optional
+from typing import Dict
 
 
 class StageTimer:

@@ -13,8 +13,6 @@ saddle = blue.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 TYPE_COLORS = {0: (1.0, 0.2, 0.2), 1: (0.2, 1.0, 0.2), 2: (0.3, 0.4, 1.0)}
