@@ -1,0 +1,95 @@
+"""Edge cases: odd sizes, tiny images, dtypes, parser flags."""
+
+import numpy as np
+import pytest
+
+from hessgpu_tpu import HessianSift, SiftConfig
+from hessgpu_tpu.config import (TRUNCATE_KEEP_HIGHEST_LEVELS,
+                                TRUNCATE_KEEP_LOWEST_LEVELS, TRUNCATE_TOP_K)
+
+
+def test_odd_image_dimensions(gray_small):
+    img = gray_small[:157, :193]  # odd dims -> floor-halved octaves
+    feats = HessianSift(SiftConfig()).run(img)
+    assert feats["x"].shape[0] > 0
+    assert (feats["x"] <= 193).all() and (feats["y"] <= 157).all()
+
+
+def test_tiny_image():
+    rngl = np.random.RandomState(0)
+    img = rngl.rand(48, 64).astype(np.float32)
+    feats = HessianSift(SiftConfig()).run(img)  # must not crash
+    assert feats["x"].shape[0] >= 0
+
+
+def test_uint8_grayscale_input(gray_small):
+    u8 = (gray_small * 255).astype(np.uint8)
+    f1 = HessianSift(SiftConfig()).run(u8)
+    f2 = HessianSift(SiftConfig()).run(gray_small)
+    # u8 quantization moves a few weak detections; the bulk agree
+    n1, n2 = f1["x"].shape[0], f2["x"].shape[0]
+    assert abs(n1 - n2) < 0.2 * max(n1, n2) + 5
+
+
+def test_rgb_input(image_640):
+    feats = HessianSift(SiftConfig(num_octaves=2)).run(
+        image_640[:128, :160])
+    assert feats["x"].shape[0] >= 0
+
+
+def test_flat_image_finds_nothing():
+    img = np.full((64, 96), 0.5, np.float32)
+    feats = HessianSift(SiftConfig()).run(img)
+    assert feats["x"].shape[0] == 0
+
+
+def test_parser_full_flag_surface():
+    cfg = SiftConfig.parse_args(
+        "-t 0.01 -e 5 -d 4 -fo 1 -no 3 -f 3.5 -w 3 -dw 2.5 -m 3 -s 1 "
+        "-ofix -loweo -maxd 1600 -mind 32 -b -half -sd -unn -v 2 -da "
+        "-cuda 0 -pack -tight -exit".split())
+    assert cfg.threshold == 0.01
+    assert cfg.edge_threshold == 5
+    assert cfg.num_scales == 4
+    assert cfg.first_octave == 1
+    assert cfg.num_octaves == 3
+    assert cfg.filter_width_factor == 3.5
+    assert cfg.orientation_window_factor == 3
+    assert cfg.descriptor_window_factor == 2.5
+    assert cfg.max_orientations == 3
+    assert cfg.subpixel and cfg.fixed_orientation and cfg.lowe_origin
+    assert cfg.max_dim == 1600 and cfg.min_dim == 32
+    assert cfg.binary_sift == 1 and cfg.half_sift
+    assert not cfg.compute_descriptors and not cfg.normalized_sift
+    assert cfg.verbose == 2 and cfg.darkness_adaption
+
+
+def test_parser_truncation_flags():
+    assert SiftConfig.parse_args(["-topk", "100"]).truncate_method \
+        == TRUNCATE_TOP_K
+    assert SiftConfig.parse_args(["-tc2", "100"]).truncate_method \
+        == TRUNCATE_KEEP_LOWEST_LEVELS
+    for f in ("-tc", "-tc1", "-tc3"):
+        cfg = SiftConfig.parse_args([f, "50"])
+        assert cfg.truncate_method == TRUNCATE_KEEP_HIGHEST_LEVELS
+        assert cfg.feature_count_threshold == 50
+
+
+def test_half_sift_pipeline(gray_small):
+    feats = HessianSift(SiftConfig(half_sift=True)).run(gray_small)
+    assert feats["desc"].shape[1] == 64
+    norms = np.linalg.norm(feats["desc"], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_no_descriptor_mode(gray_small):
+    feats = HessianSift(SiftConfig(compute_descriptors=False)).run(gray_small)
+    assert feats["x"].shape[0] > 0
+    assert (feats["desc"] == 0).all()
+
+
+def test_fixed_orientation_mode(gray_small):
+    feats = HessianSift(SiftConfig(fixed_orientation=True)).run(gray_small)
+    assert feats["x"].shape[0] > 0
+    # -ofix: all orientations fixed (device theta 0 -> image frame 0)
+    assert np.allclose(feats["theta"], 0.0)
