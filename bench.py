@@ -15,7 +15,7 @@ import numpy as np
 REFERENCE_HZ = 14.3  # doc/statistics.pdf Exp #1, new packed, ~3082 features
 BATCH = 4
 WARMUP = 2
-ITERS = 10
+ITERS = 25
 
 
 def main():
