@@ -145,6 +145,22 @@ class RemoteSift:
         self._feature_count = self.get_feature_count()
         return ok
 
+    def run_sift_keys(self, keys: np.ndarray,
+                      has_orientation: bool = True) -> bool:
+        """COMMAND_RUNSIFT_KEY: describe externally supplied keypoints on
+        the last-loaded image. keys: (N, >=3) x, y, sigma[, theta]; padded
+        to the SiftKeypoint 6-float wire layout."""
+        keys = np.asarray(keys, np.float32)
+        n = keys.shape[0]
+        buf = np.zeros((n, 6), np.float32)
+        buf[:, :min(4, keys.shape[1])] = keys[:, :4]
+        self._wi(COMMAND_RUNSIFT_KEY)
+        self._wi(n, 1 if has_orientation else 0)
+        self._wdata(buf.tobytes())
+        ok = self._ri() == 1
+        self._feature_count = self.get_feature_count()
+        return ok
+
     def get_feature_count(self) -> int:
         self._wi(COMMAND_GET_FEATURE_COUNT)
         return self._ri()

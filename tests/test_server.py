@@ -81,3 +81,18 @@ def test_server_match(remote, gray_small):
     assert len(matches) > 0.8 * n
     agree = (matches[:, 0] == matches[:, 1]).mean()
     assert agree > 0.9
+
+
+def test_server_runsift_key(remote, gray_small):
+    """COMMAND_RUNSIFT_KEY: describe externally supplied keypoints."""
+    remote.run_sift_data(gray_small)
+    keys_full, desc_full = remote.get_feature_vector()
+    n = min(16, keys_full.shape[0])
+    # feed back x, y, sigma, theta of detected keypoints
+    ok = remote.run_sift_keys(keys_full[:n, :4], has_orientation=True)
+    assert ok
+    assert remote.get_feature_count() == n
+    _, desc = remote.get_feature_vector()
+    assert desc.shape == (n, 128)
+    dots = np.sum(desc * desc_full[:n], axis=1)
+    assert (dots > 0.999).mean() > 0.8
