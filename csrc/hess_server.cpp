@@ -216,6 +216,30 @@ void ServeConnection(int fd, PyBackend* backend) {
         ReadInt(fd, size, 2);  // pyramid sizing is automatic on TPU
         break;
       }
+      case COMMAND_RUNSIFT: {
+        // re-run on the current image; consumes a pending COMMAND_SET_KEYPOINT
+        // list if one was uploaded (reference ServerSiftGPU.cpp:334-346)
+        int result = static_cast<int>(backend->CallInt("run_sift_current"));
+        feature_count = static_cast<int>(backend->CallInt("feature_count"));
+        WriteInt(fd, result);
+        break;
+      }
+      case COMMAND_SET_KEYPOINT: {
+        // upload a keypoint list for the next COMMAND_RUNSIFT; no reply
+        // (reference ServerSiftGPU.cpp:362-377)
+        int num = 0, has_orientation = 0;
+        ReadInt(fd, &num);
+        ReadInt(fd, &has_orientation);
+        if (num > 0) {
+          std::vector<char> keys(static_cast<size_t>(num) * 6 * sizeof(float));
+          ReadData(fd, keys.data(), static_cast<int>(keys.size()));
+          PyObject* args = Py_BuildValue(
+              "(y#ii)", keys.data(), static_cast<Py_ssize_t>(keys.size()),
+              num, has_orientation);
+          backend->CallVoid("set_keypoint_list", args);
+        }
+        break;
+      }
       case COMMAND_RUNSIFT_FILE: {
         ReadLine(fd, buf, sizeof(buf));
         int result = static_cast<int>(

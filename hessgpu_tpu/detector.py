@@ -100,19 +100,34 @@ class HessianSift:
         """Describe externally supplied keypoints (SiftGPU::RunSIFT(num,
         keys, has_orientation), reference SiftGPU.cpp:307-315).
 
-        keys: (N, >=3) columns x, y, sigma[, theta]."""
+        keys: (N, >=3) columns x, y, sigma[, theta[, response, packed]].
+        Caller-provided response and (u16-packed) level/type columns are
+        carried through to the output buffer, like the reference, which
+        keeps the host SiftKeypoint array the caller uploaded
+        (SiftPyramid::SetKeypointList, SiftPyramid.cpp:313-355)."""
         from .describe import describe_keypoints
         img = load_image(image) if isinstance(image, str) else image
         img, ds = limit_working_size(img, self.config.max_dim)
         self._last_image = img
+        keys = np.asarray(keys, np.float32)
         out = describe_keypoints(img, keys, self.config,
                                  has_orientation=has_orientation)
+        n = len(out["x"])
+        response = keys[:, 4].copy() if keys.shape[1] > 4 \
+            else np.zeros(n, np.float32)
+        if keys.shape[1] > 5:
+            packed = keys[:, 5].view(np.uint32)
+            level = (packed & 0xFFFF).astype(np.int32)
+            ftype = (packed >> 16).astype(np.int32)
+        else:
+            level = np.zeros(n, np.int32)
+            ftype = np.zeros(n, np.int32)
         feats = {
             "x": out["x"], "y": out["y"], "sigma": out["sigma"],
             "theta": out["theta"],
-            "response": np.zeros_like(out["x"]),
-            "level": np.zeros(len(out["x"]), np.int32),
-            "ftype": np.zeros(len(out["x"]), np.int32),
+            "response": response,
+            "level": level,
+            "ftype": ftype,
             "desc": out["desc"],
         }
         self._last_feats = feats
@@ -120,13 +135,24 @@ class HessianSift:
 
     def set_keypoint_list(self, keys: np.ndarray,
                           has_orientation: bool = True) -> None:
-        """Stash a keypoint list; the next run_on_current() describes it."""
+        """Stash a keypoint list; the next run_current() describes it
+        (reference SetKeypointList + RunSIFT(), SiftPyramid.cpp:313-355)."""
         self._pending_keys = (np.asarray(keys, np.float32), has_orientation)
 
     def run_on_current(self) -> dict:
         """Describe the stashed keypoint list on the last-loaded image."""
         keys, has_o = self._pending_keys
         return self.run_with_keypoints(self._last_image, keys, has_o)
+
+    def run_current(self) -> dict:
+        """Re-run on the current image (reference SiftGPU::RunSIFT() with no
+        arguments, ServerSiftGPU.cpp:334-346): consumes a pending keypoint
+        list if one was set, else repeats full detection."""
+        if getattr(self, "_pending_keys", None) is not None:
+            feats = self.run_on_current()
+            self._pending_keys = None
+            return feats
+        return self.run(self._last_image)
 
     # -- reference API parity ----------------------------------------------
     def parse_param(self, args) -> None:

@@ -166,7 +166,10 @@ def compute_orientations(
             thetas = jnp.stack([theta, 0.0, 0.0, 0.0])
             valid = jnp.array([True, False, False, False])
         else:
-            thetas, valid = _multi_peaks(votes, peak_threshold, max_peaks)
+            # -m <1..4> caps peaks per keypoint (GlobalUtil._MaxOrientation,
+            # consumed in ProgramCU.cu:1424-1489)
+            thetas, valid = _multi_peaks(
+                votes, peak_threshold, min(max_peaks, num_orientations))
         return thetas, valid
 
     thetas, valid = jax.vmap(per_kp)(x, y, sigma)
@@ -214,7 +217,8 @@ def compute_orientations_flat(
             thetas = jnp.stack([theta, 0.0, 0.0, 0.0])
             valid = jnp.array([True, False, False, False])
         else:
-            thetas, valid = _multi_peaks(votes, peak_threshold, max_peaks)
+            thetas, valid = _multi_peaks(
+                votes, peak_threshold, min(max_peaks, num_orientations))
         return thetas, valid
 
     thetas, valid = jax.vmap(per_kp)(x, y, sigma, level_id)

@@ -260,11 +260,13 @@ def orientation_pallas(
     peak_threshold: float = 0.8,
     half_sift: bool = False,
     single: bool = False,
+    max_peaks: int = 4,
     interpret: bool = False,
 ):
     """Orientation histograms + peaks for the global table.
 
-    Returns (thetas (G, 4), valid (G, 4) bool).
+    max_peaks: the -m <1..4> cap on orientations per keypoint
+    (ProgramCU.cu:1424-1489). Returns (thetas (G, 4), valid (G, 4) bool).
     """
     G0 = x.shape[0]
     BK = 8
@@ -381,10 +383,11 @@ def orientation_pallas(
                     is_pk = (v[j] > thr) & (v[j] > v[(j - 1) % 36]) \
                         & (v[j] > v[(j + 1) % 36])
                     peak_v.append(jnp.where(is_pk, v[j], -jnp.float32(1.0)))
-                # select top-4 peaks by vote (ties -> lowest bin, like the
-                # reference's stable insertion sort)
+                # select top-max_peaks peaks by vote (ties -> lowest bin,
+                # like the reference's stable insertion sort); lanes past the
+                # -m cap stay zero
                 taken = [jnp.bool_(False)] * 36
-                for slot in range(4):
+                for slot in range(min(4, max_peaks)):
                     best = jnp.float32(-1.0)
                     bi = jnp.int32(-1)
                     for j in range(36):
@@ -476,6 +479,7 @@ def orient_describe_pallas(
     peak_threshold: float = 0.8,
     half_sift: bool = False,
     single: bool = False,
+    max_peaks: int = 4,
     interpret: bool = False,
 ):
     """One pass: orientations AND up-to-4 descriptors per keypoint.
@@ -564,6 +568,11 @@ def orient_describe_pallas(
                 peak_v.append(jnp.where(is_pk, v[j], -jnp.float32(1.0)))
             taken = [jnp.bool_(False)] * 36
             for slot in range(4):
+                if slot >= max_peaks:
+                    # -m cap: slots past it are statically dead (zero theta,
+                    # invalid, zero descriptor)
+                    out.append((jnp.float32(0.0), jnp.bool_(False)))
+                    continue
                 best = jnp.float32(-1.0)
                 bi = jnp.int32(-1)
                 for j in range(36):

@@ -161,6 +161,28 @@ class RemoteSift:
         self._feature_count = self.get_feature_count()
         return ok
 
+    def run_sift_current(self) -> bool:
+        """COMMAND_RUNSIFT: re-run on the server's current image, consuming
+        any keypoint list set with set_keypoint_list (reference
+        ServerSiftGPU::RunSIFT(), ServerSiftGPU.cpp:785-792)."""
+        self._wi(COMMAND_RUNSIFT)
+        ok = self._ri() == 1
+        self._feature_count = self.get_feature_count()
+        return ok
+
+    def set_keypoint_list(self, keys: np.ndarray,
+                          has_orientation: bool = True) -> None:
+        """COMMAND_SET_KEYPOINT: upload a keypoint list for the next
+        run_sift_current (reference ServerSiftGPU::SetKeypointList,
+        ServerSiftGPU.cpp:675-683). No server reply."""
+        keys = np.asarray(keys, np.float32)
+        n = keys.shape[0]
+        buf = np.zeros((n, 6), np.float32)
+        buf[:, :min(6, keys.shape[1])] = keys[:, :6]
+        self._wi(COMMAND_SET_KEYPOINT)
+        self._wi(n, 1 if has_orientation else 0)
+        self._wdata(buf.tobytes())
+
     def get_feature_count(self) -> int:
         self._wi(COMMAND_GET_FEATURE_COUNT)
         return self._ri()

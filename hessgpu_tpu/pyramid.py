@@ -343,6 +343,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
             descriptor_window_factor=cfg.descriptor_window_factor,
             peak_threshold=cfg.multi_orientation_threshold,
             half_sift=cfg.half_sift, single=single,
+            max_peaks=cfg.max_orientations,
             interpret=interpret)
 
         if single:
@@ -381,6 +382,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                     window_factor=cfg.orientation_window_factor,
                     peak_threshold=cfg.multi_orientation_threshold,
                     half_sift=cfg.half_sift, single=single,
+                    max_peaks=cfg.max_orientations,
                     interpret=interpret)
             else:
                 ores = compute_orientations_flat(

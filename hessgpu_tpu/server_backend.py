@@ -75,28 +75,55 @@ class ServerBackend:
             self._feats = None
             return 0
 
-    def run_sift_keys(self, keys: bytes, num: int,
-                      has_orientation: int) -> int:
-        """COMMAND_RUNSIFT_KEY: describe externally supplied keypoints."""
+    def _describe_key_buffer(self, buf: np.ndarray,
+                             has_orientation: bool) -> int:
+        """Describe a (N, 6) SiftKeypoint wire buffer on the last image."""
         try:
             from .describe import describe_keypoints
-            buf = np.frombuffer(keys, np.float32).reshape(num, 6)
+            num = buf.shape[0]
             cols = buf[:, :4] if has_orientation else buf[:, :3]
             img = self._last_image
             out = describe_keypoints(img, cols, self.config,
-                                     has_orientation=bool(has_orientation))
-            packed = buf.copy()
-            packed[:, 3] = out["theta"]
+                                     has_orientation=has_orientation)
+            packed = buf[:, 5].view(np.uint32)
             self._feats = {
                 "x": out["x"], "y": out["y"], "sigma": out["sigma"],
                 "theta": out["theta"],
-                "response": buf[:, 4],
-                "level": np.zeros(num, np.int32),
-                "ftype": np.zeros(num, np.int32),
+                "response": buf[:, 4].copy(),
+                "level": (packed & 0xFFFF).astype(np.int32),
+                "ftype": (packed >> 16).astype(np.int32),
                 "desc": out["desc"],
             }
             return 1
         except Exception:
+            return 0
+
+    def run_sift_keys(self, keys: bytes, num: int,
+                      has_orientation: int) -> int:
+        """COMMAND_RUNSIFT_KEY: describe externally supplied keypoints."""
+        buf = np.frombuffer(keys, np.float32).reshape(num, 6).copy()
+        return self._describe_key_buffer(buf, bool(has_orientation))
+
+    def set_keypoint_list(self, keys: bytes, num: int,
+                          has_orientation: int) -> None:
+        """COMMAND_SET_KEYPOINT: stash a keypoint list for the next
+        COMMAND_RUNSIFT (reference ServerSiftGPU.cpp:362-377)."""
+        buf = np.frombuffer(keys, np.float32).reshape(num, 6).copy()
+        self._pending_keys = (buf, bool(has_orientation))
+
+    def run_sift_current(self) -> int:
+        """COMMAND_RUNSIFT: re-run on the current image (reference
+        ServerSiftGPU.cpp:334-346). Consumes a pending keypoint list from
+        COMMAND_SET_KEYPOINT if present, else repeats full detection."""
+        if self._pending_keys is not None:
+            buf, has_o = self._pending_keys
+            self._pending_keys = None
+            return self._describe_key_buffer(buf, has_o)
+        try:
+            self._feats = self.sift.run(self._last_image)
+            return 1
+        except Exception:
+            self._feats = None
             return 0
 
     @property

@@ -93,3 +93,24 @@ def test_fixed_orientation_mode(gray_small):
     assert feats["x"].shape[0] > 0
     # -ofix: all orientations fixed (device theta 0 -> image frame 0)
     assert np.allclose(feats["theta"], 0.0)
+
+
+def _orientation_counts(feats):
+    """Count emitted orientations per distinct (x, y, sigma) location."""
+    locs = np.stack([feats["x"], feats["y"], feats["sigma"]], axis=1)
+    _, counts = np.unique(np.round(locs, 4), axis=0, return_counts=True)
+    return counts
+
+
+def test_max_orientations_cap_enforced(gray_small):
+    """-m <1..4> caps orientations per keypoint (GlobalUtil._MaxOrientation,
+    ProgramCU.cu:1424-1489). Round-1 bug: cap was parsed but ignored."""
+    by_cap = {}
+    for cap in (1, 2, 4):
+        feats = HessianSift(SiftConfig(max_orientations=cap)).run(gray_small)
+        counts = _orientation_counts(feats)
+        assert counts.max() <= cap, (
+            f"-m {cap} emitted {counts.max()} orientations for one keypoint")
+        by_cap[cap] = feats["x"].shape[0]
+    # a lower cap can only shed features
+    assert by_cap[1] <= by_cap[2] <= by_cap[4]

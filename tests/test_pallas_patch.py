@@ -62,26 +62,30 @@ def test_orientation_pallas_matches_reference(scene):
     pad = (wsize - 1) // 2 + 1
     gs, rs, lh, lw = build_padded_stack(grads, rots, pad)
 
-    thetas, ovalid = orientation_pallas(
-        jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-        jnp.asarray(valid), jnp.asarray(lid), gs, rs, lh, lw,
-        wsize=wsize, pad=pad, interpret=True)
-    thetas, ovalid = np.asarray(thetas), np.asarray(ovalid)
+    for cap in (2, 4):  # -m cap must agree between jnp and Pallas paths
+        thetas, ovalid = orientation_pallas(
+            jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
+            jnp.asarray(valid), jnp.asarray(lid), gs, rs, lh, lw,
+            wsize=wsize, pad=pad, max_peaks=cap, interpret=True)
+        thetas, ovalid = np.asarray(thetas), np.asarray(ovalid)
 
-    for i in range(len(kx)):
-        want = compute_orientations(
-            jnp.asarray(kx[i:i + 1]), jnp.asarray(ky[i:i + 1]),
-            jnp.asarray(ks[i:i + 1]), jnp.ones(1, bool),
-            grads[lid[i]], rots[lid[i]],
-            wsize=min(wsize, *grads[lid[i]].shape), num_orientations=2)
-        wth = np.asarray(want.thetas[0])
-        wv = np.asarray(want.valid[0])
-        if not valid[i]:
-            assert not ovalid[i].any()
-            continue
-        np.testing.assert_array_equal(ovalid[i], wv, err_msg=f"kp {i}")
-        np.testing.assert_allclose(thetas[i][wv], wth[wv], atol=1e-4,
-                                   err_msg=f"kp {i}")
+        for i in range(len(kx)):
+            want = compute_orientations(
+                jnp.asarray(kx[i:i + 1]), jnp.asarray(ky[i:i + 1]),
+                jnp.asarray(ks[i:i + 1]), jnp.ones(1, bool),
+                grads[lid[i]], rots[lid[i]],
+                wsize=min(wsize, *grads[lid[i]].shape),
+                num_orientations=cap)
+            wth = np.asarray(want.thetas[0])
+            wv = np.asarray(want.valid[0])
+            if not valid[i]:
+                assert not ovalid[i].any()
+                continue
+            assert ovalid[i].sum() <= cap
+            np.testing.assert_array_equal(ovalid[i], wv,
+                                          err_msg=f"kp {i} cap {cap}")
+            np.testing.assert_allclose(thetas[i][wv], wth[wv], atol=1e-4,
+                                       err_msg=f"kp {i} cap {cap}")
 
 
 def test_orientation_pallas_single_mode(scene):

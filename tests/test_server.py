@@ -96,3 +96,34 @@ def test_server_runsift_key(remote, gray_small):
     assert desc.shape == (n, 128)
     dots = np.sum(desc * desc_full[:n], axis=1)
     assert (dots > 0.999).mean() > 0.8
+
+
+def test_server_runsift_rerun_and_set_keypoint(remote, gray_small):
+    """COMMAND_RUNSIFT re-runs the current image; COMMAND_SET_KEYPOINT +
+    COMMAND_RUNSIFT is the reference's two-step keypoint upload path
+    (ServerSiftGPU.cpp:334-346, 362-377)."""
+    assert remote.run_sift_data(gray_small)
+    n0 = remote.get_feature_count()
+    keys0, desc0 = remote.get_feature_vector()
+
+    # plain re-run: full detection repeats deterministically
+    assert remote.run_sift_current()
+    assert remote.get_feature_count() == n0
+    keys1, _ = remote.get_feature_vector()
+    np.testing.assert_array_equal(keys0, keys1)
+
+    # SET_KEYPOINT + RUNSIFT: describe an uploaded list; response and
+    # packed level/type columns must be carried through to GET_KEY_VECTOR
+    n = min(12, n0)
+    remote.set_keypoint_list(keys0[:n], has_orientation=True)
+    assert remote.run_sift_current()
+    assert remote.get_feature_count() == n
+    keys2, desc2 = remote.get_feature_vector()
+    np.testing.assert_allclose(keys2[:, :4], keys0[:n, :4], atol=1e-4)
+    np.testing.assert_array_equal(keys2[:, 4:], keys0[:n, 4:])
+    dots = np.sum(desc2 * desc0[:n], axis=1)
+    assert (dots > 0.999).mean() > 0.8
+
+    # the pending list is consumed: the next RUNSIFT is a full detection
+    assert remote.run_sift_current()
+    assert remote.get_feature_count() == n0
