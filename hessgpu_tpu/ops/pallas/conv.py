@@ -26,6 +26,118 @@ from jax.experimental.pallas import tpu as pltpu
 _BR = 128  # output rows per program (multiple of 8)
 
 
+def octave_chain_pallas(base: jnp.ndarray,
+                        taps_list: Sequence[Sequence[float]],
+                        interpret: bool = False) -> jnp.ndarray:
+    """Whole-octave Gaussian chain in ONE kernel: level l+1 = blur(level l).
+
+    base: (H, W) float32 already blurred to level 0.
+    taps_list: per-transition tap vectors (empty/None = identity).
+    Returns (1 + len(taps_list), H, W) with plane 0 = base.
+
+    The reference runs FilterImage per level, each a full HBM round-trip
+    (PyramidCU.cpp:1542-1548); here each program DMAs one row block of the
+    base (plus the cumulative halo R = sum of radii) and carries the whole
+    chain through VMEM, writing every level's block - HBM traffic drops
+    from ~4 reads+writes per level (pad copy + conv) to one read + L
+    writes total. Boundary semantics stay per-level clamp-to-edge: after
+    computing each level the kernel re-clamps the out-of-image border of
+    its canvas (statically for columns, via masked row-reductions for the
+    dynamic row edges), so results equal the chained blur_pallas calls
+    bit-for-bit.
+    """
+    taps_list = [tuple(float(t) for t in tp) if tp else () for tp in taps_list]
+    radii = [len(tp) // 2 for tp in taps_list]
+    R = sum(radii)
+    L = 1 + len(taps_list)
+    h, w = base.shape
+
+    if h < 32 or w < 32 or R == 0:
+        from ..gaussian import conv1d_clamped
+        levels = [base]
+        for tp in taps_list:
+            x = levels[-1]
+            if tp:
+                x = conv1d_clamped(x, tp, axis=1)
+                x = conv1d_clamped(x, tp, axis=0)
+            levels.append(x)
+        return jnp.stack(levels, axis=0)
+
+    BR = min(_BR, (h + 7) // 8 * 8)
+    nblk = pl.cdiv(h, BR)
+    brh = BR + (2 * R + 7) // 8 * 8
+    wp = (w + 2 * R + 127) // 128 * 128
+
+    bot = nblk * BR + brh - (h + R)
+    xp = jnp.pad(base, ((R, max(bot, R)), (R, wp - w - R)), mode="edge")
+
+    def kernel(xp_hbm, out_ref, buf, sem):
+        blk = pl.program_id(0)
+        row0 = pl.multiple_of(blk * BR, 8)
+        cp = pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(row0, brh), pl.ds(0, wp)], buf, sem)
+        cp.start()
+        cp.wait()
+
+        # canvas invariant: cur[i, j] = level image at
+        # (row0 - R + cum + i, j - R + cum) where cum = sum of used radii
+        cur = buf[:, :]
+        cum = 0
+        for l, tp in enumerate(taps_list):
+            # emit level l
+            coff = R - cum
+            out_ref[l, :, :] = cur[coff:coff + BR, coff:coff + w]
+
+            r = len(tp) // 2
+            if r == 0:
+                continue
+
+            # re-clamp the canvas borders to this level's own edge values
+            # (per-level clamp-to-edge, ProgramCU.cu:117-231). Columns:
+            # static offsets. Rows: the image edge lands at a block-dependent
+            # canvas row, so extract it with a masked reduction.
+            rows_l, cols_l = cur.shape
+            colio = jax.lax.broadcasted_iota(jnp.int32, (rows_l, cols_l), 1)
+            rowio = jax.lax.broadcasted_iota(jnp.int32, (rows_l, cols_l), 0)
+            cur = jnp.where(colio < coff, cur[:, coff:coff + 1], cur)
+            cur = jnp.where(colio > coff + w - 1,
+                            cur[:, coff + w - 1:coff + w], cur)
+            top_idx = coff - row0          # canvas row of image row 0
+            bot_idx = h - 1 - row0 + coff  # canvas row of image row h-1
+            edge_top = jnp.sum(jnp.where(rowio == top_idx, cur, 0.0),
+                               axis=0, keepdims=True)
+            cur = jnp.where(rowio < top_idx, edge_top, cur)
+            edge_bot = jnp.sum(jnp.where(rowio == bot_idx, cur, 0.0),
+                               axis=0, keepdims=True)
+            cur = jnp.where(rowio > bot_idx, edge_bot, cur)
+
+            hres = tp[0] * cur[:, 0:cols_l - 2 * r]
+            for k in range(1, len(tp)):
+                hres = hres + tp[k] * cur[:, k:k + cols_l - 2 * r]
+            nxt = tp[0] * hres[0:rows_l - 2 * r, :]
+            for k in range(1, len(tp)):
+                nxt = nxt + tp[k] * hres[k:k + rows_l - 2 * r, :]
+            cur = nxt
+            cum += r
+
+        coff = R - cum
+        out_ref[L - 1, :, :] = cur[coff:coff + BR, coff:coff + w]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct((L, h, w), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((L, BR, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((brh, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp)
+
+
 def blur_pallas(x: jnp.ndarray, taps: Sequence[float]) -> jnp.ndarray:
     """Separable blur of (H, W) float32 with clamp-to-edge boundaries."""
     taps = tuple(float(t) for t in taps)

@@ -186,6 +186,32 @@ def descriptor_pallas(
     def kernel(xs, ys, sigs, ths, lvls, valids, lh, lw,
                grad_hbm, rot_hbm, out_ref, gwin, rwin, sems):
         kb = pl.program_id(0)
+
+        def copies(i, k):
+            srow, scol, _, _ = _aligned_origin(ys[k], xs[k], r, pad)
+            lvl = lvls[k]
+            return (
+                pltpu.make_async_copy(
+                    grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                    gwin.at[i], sems.at[i, 0]),
+                pltpu.make_async_copy(
+                    rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                    rwin.at[i], sems.at[i, 1]),
+            )
+
+        # launch every slot's window DMAs up front so the 2*BK transfers
+        # overlap each other and the compute below (latency was the
+        # bottleneck: one start();wait() pair per slot serialized ~4k
+        # transfers per image)
+        for i in range(BK):
+            k = kb * BK + i
+
+            @pl.when(valids[k] != 0)
+            def _(i=i, k=k):
+                cp_g, cp_r = copies(i, k)
+                cp_g.start()
+                cp_r.start()
+
         for i in range(BK):
             k = kb * BK + i
             is_valid = valids[k] != 0
@@ -197,16 +223,9 @@ def descriptor_pallas(
                 sig = sigs[k]
                 th = ths[k]
                 lvl = lvls[k]
-                srow, scol, y0f, x0f = _aligned_origin(ky, kx, r, pad)
+                _, _, y0f, x0f = _aligned_origin(ky, kx, r, pad)
 
-                cp_g = pltpu.make_async_copy(
-                    grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
-                    gwin, sems.at[0])
-                cp_r = pltpu.make_async_copy(
-                    rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
-                    rwin, sems.at[1])
-                cp_g.start()
-                cp_r.start()
+                cp_g, cp_r = copies(i, k)
                 cp_g.wait()
                 cp_r.wait()
 
@@ -214,7 +233,7 @@ def descriptor_pallas(
                 desc = _descriptor_compute(
                     kx, ky, spt, th, y0f, x0f,
                     lh[lvl].astype(jnp.float32), lw[lvl].astype(jnp.float32),
-                    gwin[:, :], rwin[:, :])
+                    gwin[i], rwin[i])
                 out_ref[i:i + 1, :] = desc
 
             @pl.when(jnp.logical_not(is_valid))
@@ -231,9 +250,9 @@ def descriptor_pallas(
         out_specs=pl.BlockSpec((BK, 128), lambda k, *_: (k, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, cols), jnp.float32),
-            pltpu.VMEM((rows, cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((BK, 2)),
         ],
     )
 
@@ -281,6 +300,19 @@ def orientation_pallas(
     rows, cols = _window_dims(wsize)
     r = (wsize - 1) // 2
 
+    def _window_copies(i, k, xs, ys, lvls, grad_hbm, rot_hbm, gwin, rwin,
+                       sems):
+        srow, scol, _, _ = _aligned_origin(ys[k], xs[k], r, pad)
+        lvl = lvls[k]
+        return (
+            pltpu.make_async_copy(
+                grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                gwin.at[i], sems.at[i, 0]),
+            pltpu.make_async_copy(
+                rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                rwin.at[i], sems.at[i, 1]),
+        )
+
     def _one_keypoint(k, i, xs, ys, sigs, lvls, valids, lh, lw,
                       grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
         is_valid = valids[k] != 0
@@ -291,24 +323,18 @@ def orientation_pallas(
             ky = ys[k]
             sig = sigs[k]
             lvl = lvls[k]
-            srow, scol, y0f, x0f = _aligned_origin(ky, kx, r, pad)
+            _, _, y0f, x0f = _aligned_origin(ky, kx, r, pad)
 
-            cp_g = pltpu.make_async_copy(
-                grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
-                gwin, sems.at[0])
-            cp_r = pltpu.make_async_copy(
-                rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
-                rwin, sems.at[1])
-            cp_g.start()
-            cp_r.start()
+            cp_g, cp_r = _window_copies(i, k, xs, ys, lvls, grad_hbm,
+                                        rot_hbm, gwin, rwin, sems)
             cp_g.wait()
             cp_r.wait()
 
             h = lh[lvl].astype(jnp.float32)
             w = lw[lvl].astype(jnp.float32)
 
-            gw = gwin[:, :]
-            rw = rwin[:, :]
+            gw = gwin[i]
+            rw = rwin[i]
 
             gsigma = sig * gaussian_factor
             win = jnp.abs(sig) * (gaussian_factor * window_factor)
@@ -427,6 +453,18 @@ def orientation_pallas(
     def kernel(xs, ys, sigs, lvls, valids, lh, lw,
                grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
         kb = pl.program_id(0)
+        # prefetch every slot's windows before any compute (overlaps the
+        # 2*BK DMAs with each other and with the histogram math)
+        for i in range(BK):
+            k = kb * BK + i
+
+            @pl.when(valids[k] != 0)
+            def _(i=i, k=k):
+                cp_g, cp_r = _window_copies(i, k, xs, ys, lvls, grad_hbm,
+                                            rot_hbm, gwin, rwin, sems)
+                cp_g.start()
+                cp_r.start()
+
         for i in range(BK):
             _one_keypoint(kb * BK + i, i, xs, ys, sigs, lvls, valids, lh, lw,
                           grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin,
@@ -446,9 +484,9 @@ def orientation_pallas(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, cols), jnp.float32),
-            pltpu.VMEM((rows, cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((BK, 2)),
         ],
     )
 

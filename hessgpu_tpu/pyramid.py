@@ -94,7 +94,7 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
     use_pallas = cfg.use_pallas and jax.default_backend() != "cpu"
 
     if use_pallas:
-        from .ops.pallas.conv import blur_pallas
+        from .ops.pallas.conv import blur_pallas, octave_chain_pallas
 
         def blur(x, sigma):
             if sigma <= 0:
@@ -102,10 +102,13 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
             return blur_pallas(x, gaussian_taps(sigma, p.filter_width_factor))
 
         def build(b, pp):
-            levels = [b]
-            for s in pp.incremental_sigmas():
-                levels.append(blur(levels[-1], s))
-            return jnp.stack(levels, axis=0)
+            # whole chain in one kernel launch: one base read + L level
+            # writes instead of a pad+read+write HBM round-trip per level
+            taps_list = [
+                gaussian_taps(s, pp.filter_width_factor) if s > 0 else ()
+                for s in pp.incremental_sigmas()
+            ]
+            return octave_chain_pallas(b, taps_list)
     else:
         def blur(x, sigma):
             return gaussian.blur(x, sigma, p.filter_width_factor)

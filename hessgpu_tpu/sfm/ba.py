@@ -127,6 +127,33 @@ def _block_jacobi(state: BAState, prob: BAProblem, lam):
     return jnp.linalg.inv(Hc), jnp.linalg.inv(Hp)
 
 
+def robust_weights(state: BAState, prob: BAProblem, delta: float,
+                   loss: str = "huber"):
+    """IRLS sqrt-weights for a robust loss of width `delta` pixels,
+    evaluated at the current state and held fixed for one LM step.
+
+    huber:  w = 1 in the quadratic zone, sqrt(delta/|r|) outside -
+            bounds but does not eliminate outlier influence (grows
+            linearly), right when outliers are moderate.
+    cauchy: w = 1/sqrt(1 + (r/delta)^2) - redescending, gross outliers'
+            influence decays to ~0, right for contaminated SfM tracks.
+    """
+    zero = (jnp.zeros((state.R.shape[0], 6)), jnp.zeros_like(state.X))
+    res = _residual_fn(state, prob)(zero)
+    rn = jnp.linalg.norm(res, axis=1)
+    if loss == "huber":
+        w = jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-9)))
+    elif loss == "cauchy":
+        w = jax.lax.rsqrt(1.0 + (rn / delta) ** 2)
+    else:
+        raise ValueError(f"unknown robust loss {loss!r}")
+    return jax.lax.stop_gradient(w)
+
+
+def huber_weights(state: BAState, prob: BAProblem, delta: float):
+    return robust_weights(state, prob, delta, loss="huber")
+
+
 @functools.partial(jax.jit, static_argnames=("cg_iters", "fix_first_cam"))
 def lm_step(state: BAState, prob: BAProblem, lam, cg_iters: int = 30,
             fix_first_cam: bool = True):
@@ -205,17 +232,26 @@ def lm_step(state: BAState, prob: BAProblem, lam, cg_iters: int = 30,
 def bundle_adjust(state: BAState, prob: BAProblem, iterations: int = 20,
                   lam0: float = 1e-3, cg_iters: int = 30,
                   fix_first_cam: bool = True,
+                  huber_delta: float = 0.0, loss: str = "huber",
                   verbose: bool = False) -> Tuple[BAState, float]:
     """Run LM to convergence (fixed iteration budget, jit-cached step).
 
     fix_first_cam gauges the problem by zero-weighting the first camera's
     update (implemented by projecting its delta out via a large damping on
     that block - handled here simply by restoring cam 0 after each step).
+    huber_delta > 0 enables a robust loss of that width (pixels) via
+    per-step IRLS reweighting (`loss` picks huber or cauchy) - outliers
+    stop dominating the normal equations.
     """
     lam = jnp.asarray(lam0)
     cost = None
     for _ in range(iterations):
-        state, lam, c0, c1, acc = lm_step(state, prob, lam,
+        if huber_delta > 0:
+            w = robust_weights(state, prob, huber_delta, loss=loss)
+            prob_it = prob._replace(weight=prob.weight * w)
+        else:
+            prob_it = prob
+        state, lam, c0, c1, acc = lm_step(state, prob_it, lam,
                                           cg_iters=cg_iters,
                                           fix_first_cam=fix_first_cam)
         cost = float(jnp.minimum(c0, c1))
@@ -223,6 +259,19 @@ def bundle_adjust(state: BAState, prob: BAProblem, iterations: int = 20,
             print(f"LM cost {float(c0):.6f} -> {float(c1):.6f} "
                   f"accept={bool(acc)} lam={float(lam):.2e}")
     return state, cost
+
+
+def prune_outliers(state: BAState, prob: BAProblem,
+                   threshold: float = 4.0) -> Tuple[BAProblem, int]:
+    """Zero-weight observations whose reprojection error exceeds threshold
+    (pixels). Returns (pruned problem, number pruned)."""
+    zero = (jnp.zeros((state.R.shape[0], 6)), jnp.zeros_like(state.X))
+    res = _residual_fn(state, prob)(zero)
+    safew = jnp.where(prob.weight > 0, prob.weight, 1.0)
+    rn = jnp.linalg.norm(res, axis=1) / safew
+    keep = (rn < threshold) & (prob.weight > 0)
+    pruned = int(jnp.sum((prob.weight > 0) & ~keep))
+    return prob._replace(weight=jnp.where(keep, prob.weight, 0.0)), pruned
 
 
 def reprojection_rmse(state: BAState, prob: BAProblem) -> float:

@@ -106,9 +106,14 @@ def evaluate_sequence_ate(image_paths: List[str], gt_centers: np.ndarray,
     if rec is None:
         return {"ate": float("inf"), "registered": 0}
     est = camera_centers(rec.R, rec.t)
-    n = min(len(est), len(gt_centers))
+    # cameras map to original frame indices via view_ids (frames can be
+    # skipped), so align each estimate with its own ground-truth pose
+    ids = rec.view_ids or list(range(rec.num_cameras))
+    sel = [(c, v) for c, v in enumerate(ids) if v < len(gt_centers)]
+    cams = [c for c, _ in sel]
+    views = [v for _, v in sel]
     return {
-        "ate": ate_rmse(est[:n], gt_centers[:n]),
+        "ate": ate_rmse(est[cams], gt_centers[views]),
         "registered": rec.num_cameras,
         "points": rec.num_points,
     }

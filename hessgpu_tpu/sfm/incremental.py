@@ -38,6 +38,9 @@ class Reconstruction:
     obs: List[Tuple[int, int, float, float]]
     # track id per (image, feature index)
     track_of: Dict[Tuple[int, int], int]
+    # original sequence index of each registered camera (views can be
+    # skipped when registration fails; camera c is view view_ids[c])
+    view_ids: Optional[List[int]] = None
 
     @property
     def num_cameras(self) -> int:
@@ -74,39 +77,33 @@ def _match_pair(feats1, feats2, matcher, type_aware=True):
     return np.stack([rows, rm[rows]], 1) if len(rows) else np.zeros((0, 2), int)
 
 
-def _pnp_register(K, pts3d, pts2d, iterations=200, threshold=8.0, seed=0):
-    """Register a camera from 3D-2D correspondences: vectorized P3P-lite.
+def _pnp_register(K, pts3d, pts2d, threshold=8.0, seed=0):
+    """Register a camera from 3D-2D correspondences.
 
-    Minimal RANSAC over random 6-point DLT pose hypotheses, refined by a
-    small LM on inliers (via the BA machinery with points fixed).
+    All RANSAC hypotheses run as one vmapped batch on device
+    (twoview.ransac_pnp - the same batched-hypothesis pattern as
+    ransac_fundamental), then a small pose-only LM refines on inliers.
+    Correspondence counts are padded to buckets so the jitted RANSAC
+    compiles once per bucket, not once per view.
     """
+    from .twoview import ransac_pnp
+
     n = pts3d.shape[0]
     if n < 6:
         return None
-    rng = np.random.RandomState(seed)
-    Ki = np.linalg.inv(K)
-    norm2d = (np.hstack([pts2d, np.ones((n, 1))]) @ Ki.T)[:, :2]
-
-    best_inl = None
-    best_Rt = None
-    for _ in range(iterations):
-        sel = rng.choice(n, 6, replace=False)
-        Rt = _dlt_pose(pts3d[sel], norm2d[sel])
-        if Rt is None:
-            continue
-        R, t = Rt
-        xc = pts3d @ R.T + t
-        z = np.maximum(xc[:, 2], 1e-9)
-        proj = xc[:, :2] / z[:, None]
-        pix = (proj @ K[:2, :2].T) + K[:2, 2]
-        err = np.linalg.norm(pix - pts2d, axis=1)
-        inl = (err < threshold) & (xc[:, 2] > 0)
-        if best_inl is None or inl.sum() > best_inl.sum():
-            best_inl = inl
-            best_Rt = (R, t)
-    if best_inl is None or best_inl.sum() < 6:
+    cap = max(64, 1 << int(np.ceil(np.log2(n))))  # pad bucket
+    X = np.zeros((cap, 3), np.float32)
+    uv = np.zeros((cap, 2), np.float32)
+    X[:n] = pts3d
+    uv[:n] = pts2d
+    valid = np.arange(cap) < n
+    res = ransac_pnp(jax.random.PRNGKey(seed), jnp.asarray(X),
+                     jnp.asarray(uv), jnp.asarray(valid),
+                     jnp.asarray(K, jnp.float32), threshold=threshold)
+    best_inl = np.asarray(res.inliers)[:n]
+    if int(res.num_inliers) < 6:
         return None
-    R, t = best_Rt
+    R, t = np.asarray(res.R, np.float64), np.asarray(res.t, np.float64)
     # refine on inliers with fixed points: 1-camera BA
     obs_idx = np.nonzero(best_inl)[0]
     prob = BAProblem(
@@ -146,47 +143,31 @@ def _refine_pose_only(state: BAState, prob: BAProblem, iters: int = 10):
     return state._replace(R=R[None], t=t[None]), None
 
 
-def _dlt_pose(X, x_norm):
-    """6-point DLT for P = [R|t] from 3D-2D (normalized) correspondences."""
-    n = X.shape[0]
-    A = []
-    for i in range(n):
-        Xi = np.append(X[i], 1.0)
-        u, v = x_norm[i]
-        A.append(np.concatenate([np.zeros(4), -Xi, v * Xi]))
-        A.append(np.concatenate([Xi, np.zeros(4), -u * Xi]))
-    A = np.asarray(A)
-    try:
-        _, _, vt = np.linalg.svd(A)
-    except np.linalg.LinAlgError:
-        return None
-    P = vt[-1].reshape(3, 4)
-    M = P[:, :3]
-    # enforce rotation via SVD; fix scale/sign
-    u, s, vt2 = np.linalg.svd(M)
-    d = np.linalg.det(u @ vt2)
-    R = u @ np.diag([1, 1, d]) @ vt2
-    scale = np.mean(s) * d
-    if abs(scale) < 1e-12:
-        return None
-    t = P[:, 3] / scale
-    # cheirality check on the sample
-    if np.sum((X @ R.T + t)[:, 2] > 0) < n // 2 + 1:
-        R2 = -R  # improper flip
-        return None
-    return R, t
-
-
 def reconstruct_sequence(
     feature_sets: List[dict],
     K: np.ndarray,
     min_matches: int = 30,
     ba_every: int = 3,
     ba_iterations: int = 10,
+    lookback: int = 3,
+    loop_closure: bool = True,
+    loop_gap: int = 8,
+    huber_delta: float = 3.0,
     verbose: bool = False,
 ) -> Optional[Reconstruction]:
     """Incremental SfM over an ordered list of per-image feature dicts
-    (the output of HessianSift.run)."""
+    (the output of HessianSift.run).
+
+    Robustness measures (round-2):
+      * 2D-3D correspondences are gathered against the last `lookback`
+        registered views, not just the immediate neighbor;
+      * a weak view is skipped (not fatal) unless registration never
+        recovers;
+      * BA uses a Huber loss + outlier pruning (ba.bundle_adjust);
+      * loop closure: candidate pairs found by mean-descriptor retrieval
+        are verified with a two-view pose and fed as pose-graph edges
+        (sfm/posegraph.py), then poses are re-fed to a final BA.
+    """
     from ..matcher import SiftMatcher
 
     matcher = SiftMatcher()
@@ -194,14 +175,27 @@ def reconstruct_sequence(
     if n_img < 2:
         return None
 
-    # ---- initialize from the first pair ----------------------------------
-    m01 = _match_pair(feature_sets[0], feature_sets[1], matcher)
-    if len(m01) < min_matches:
+    match_cache: Dict[Tuple[int, int], np.ndarray] = {}
+
+    def matches(a: int, b: int) -> np.ndarray:
+        if (a, b) not in match_cache:
+            match_cache[(a, b)] = _match_pair(feature_sets[a],
+                                             feature_sets[b], matcher)
+        return match_cache[(a, b)]
+
+    # ---- initialize from the first strong adjacent pair ------------------
+    init_b = None
+    for a in range(min(n_img - 1, 3)):
+        if len(matches(a, a + 1)) >= min_matches:
+            init_a, init_b = a, a + 1
+            break
+    if init_b is None:
         return None
-    p1 = np.stack([feature_sets[0]["x"][m01[:, 0]],
-                   feature_sets[0]["y"][m01[:, 0]]], 1).astype(np.float32)
-    p2 = np.stack([feature_sets[1]["x"][m01[:, 1]],
-                   feature_sets[1]["y"][m01[:, 1]]], 1).astype(np.float32)
+    m01 = matches(init_a, init_b)
+    p1 = np.stack([feature_sets[init_a]["x"][m01[:, 0]],
+                   feature_sets[init_a]["y"][m01[:, 0]]], 1).astype(np.float32)
+    p2 = np.stack([feature_sets[init_b]["x"][m01[:, 1]],
+                   feature_sets[init_b]["y"][m01[:, 1]]], 1).astype(np.float32)
     res = ransac_fundamental(jax.random.PRNGKey(0), jnp.asarray(p1),
                              jnp.asarray(p2), jnp.ones(len(p1), bool))
     E = essential_from_fundamental(res.F, jnp.asarray(K), jnp.asarray(K))
@@ -215,66 +209,84 @@ def reconstruct_sequence(
         R=[np.eye(3), np.asarray(R1)],
         t=[np.zeros(3), np.asarray(t1)],
         K=K, points=X01[keep], obs=[], track_of={},
+        view_ids=[init_a, init_b],
     )
     kept_idx = np.nonzero(keep)[0]
     for tid, mi in enumerate(kept_idx):
         f0, f1 = m01[mi]
-        rec.track_of[(0, int(f0))] = tid
-        rec.track_of[(1, int(f1))] = tid
+        rec.track_of[(init_a, int(f0))] = tid
+        rec.track_of[(init_b, int(f1))] = tid
         rec.obs.append((0, tid, float(p1[mi, 0]), float(p1[mi, 1])))
         rec.obs.append((1, tid, float(p2[mi, 0]), float(p2[mi, 1])))
 
-    # ---- register remaining views sequentially ---------------------------
-    for i in range(2, n_img):
-        mm = _match_pair(feature_sets[i - 1], feature_sets[i], matcher)
-        if len(mm) < min_matches:
-            if verbose:
-                print(f"view {i}: too few matches, stopping")
-            break
-        # 2D-3D correspondences through existing tracks
+    # ---- register remaining views (lookback; skip, don't break) ----------
+    skipped = 0
+    for i in range(init_b + 1, n_img):
+        # 2D-3D correspondences through tracks of the last `lookback`
+        # registered views (nearest first so its matches win duplicates)
         pts3d, pts2d, new_pairs = [], [], []
-        for fprev, fcur in mm:
-            tid = rec.track_of.get((i - 1, int(fprev)))
-            if tid is not None:
-                pts3d.append(rec.points[tid])
-                pts2d.append([feature_sets[i]["x"][fcur],
-                              feature_sets[i]["y"][fcur]])
-                new_pairs.append((int(fcur), tid))
-        if len(pts3d) < 6:
-            if verbose:
-                print(f"view {i}: too few 2D-3D, stopping")
-            break
-        got = _pnp_register(K, np.asarray(pts3d), np.asarray(pts2d), seed=i)
+        seen_fcur = set()
+        for v in reversed(rec.view_ids[-lookback:]):
+            for fprev, fcur in matches(v, i):
+                fcur = int(fcur)
+                if fcur in seen_fcur:
+                    continue
+                tid = rec.track_of.get((v, int(fprev)))
+                if tid is not None:
+                    seen_fcur.add(fcur)
+                    pts3d.append(rec.points[tid])
+                    pts2d.append([feature_sets[i]["x"][fcur],
+                                  feature_sets[i]["y"][fcur]])
+                    new_pairs.append((fcur, tid))
+        got = None
+        if len(pts3d) >= 6:
+            got = _pnp_register(K, np.asarray(pts3d), np.asarray(pts2d),
+                                seed=i)
         if got is None:
-            break
+            skipped += 1
+            if verbose:
+                print(f"view {i}: registration failed "
+                      f"({len(pts3d)} 2D-3D), skipping")
+            if skipped > lookback:
+                if verbose:
+                    print(f"view {i}: lost tracking, stopping")
+                break
+            continue
+        skipped = 0
         Ri, ti, inl = got
+        cam = len(rec.R)
+        v_last = rec.view_ids[-1]
         rec.R.append(Ri)
         rec.t.append(ti)
+        rec.view_ids.append(i)
         for (fcur, tid), ok in zip(new_pairs, inl):
-            if ok:
+            if ok and (i, fcur) not in rec.track_of:
                 rec.track_of[(i, fcur)] = tid
-                rec.obs.append((i, tid,
+                rec.obs.append((cam, tid,
                                 float(feature_sets[i]["x"][fcur]),
                                 float(feature_sets[i]["y"][fcur])))
 
-        # triangulate brand-new tracks between i-1 and i
-        P_prev = K @ np.hstack([rec.R[i - 1], rec.t[i - 1][:, None]])
+        # triangulate brand-new tracks between the previous registered
+        # view and i
+        cam_prev = cam - 1
+        P_prev = K @ np.hstack([rec.R[cam_prev], rec.t[cam_prev][:, None]])
         P_cur = K @ np.hstack([Ri, ti[:, None]])
+        mm = matches(v_last, i)
         fresh = [(fp, fc) for fp, fc in mm
-                 if (i - 1, int(fp)) not in rec.track_of
+                 if (v_last, int(fp)) not in rec.track_of
                  and (i, int(fc)) not in rec.track_of]
         if fresh:
             fp = np.asarray([f for f, _ in fresh])
             fc = np.asarray([f for _, f in fresh])
-            q1 = np.stack([feature_sets[i - 1]["x"][fp],
-                           feature_sets[i - 1]["y"][fp]], 1)
+            q1 = np.stack([feature_sets[v_last]["x"][fp],
+                           feature_sets[v_last]["y"][fp]], 1)
             q2 = np.stack([feature_sets[i]["x"][fc],
                            feature_sets[i]["y"][fc]], 1)
             Xn = np.asarray(triangulate(
                 jnp.asarray(P_prev, jnp.float32),
                 jnp.asarray(P_cur, jnp.float32),
                 jnp.asarray(q1, jnp.float32), jnp.asarray(q2, jnp.float32)))
-            z1 = (Xn @ rec.R[i - 1].T + rec.t[i - 1])[:, 2]
+            z1 = (Xn @ rec.R[cam_prev].T + rec.t[cam_prev])[:, 2]
             z2 = (Xn @ Ri.T + ti)[:, 2]
             ok = (z1 > 0) & (z2 > 0) & np.isfinite(Xn).all(1)
             base = rec.points.shape[0]
@@ -282,22 +294,130 @@ def reconstruct_sequence(
             tid = base
             for k, (fpk, fck) in enumerate(fresh):
                 if ok[k]:
-                    rec.track_of[(i - 1, int(fpk))] = tid
+                    rec.track_of[(v_last, int(fpk))] = tid
                     rec.track_of[(i, int(fck))] = tid
-                    rec.obs.append((i - 1, tid, float(q1[k, 0]), float(q1[k, 1])))
-                    rec.obs.append((i, tid, float(q2[k, 0]), float(q2[k, 1])))
+                    rec.obs.append((cam_prev, tid,
+                                    float(q1[k, 0]), float(q1[k, 1])))
+                    rec.obs.append((cam, tid,
+                                    float(q2[k, 0]), float(q2[k, 1])))
                     tid += 1
 
-        if (i + 1) % ba_every == 0 or i == n_img - 1:
-            rec = run_global_ba(rec, iterations=ba_iterations)
+        if rec.num_cameras % ba_every == 0:
+            rec = run_global_ba(rec, iterations=ba_iterations,
+                                huber_delta=huber_delta)
             if verbose:
-                print(f"view {i}: cams={rec.num_cameras} pts={rec.num_points}")
+                print(f"view {i}: cams={rec.num_cameras} "
+                      f"pts={rec.num_points}")
 
-    rec = run_global_ba(rec, iterations=ba_iterations)
+    # ---- loop closure via pose graph -------------------------------------
+    if loop_closure and rec.num_cameras >= loop_gap + 2:
+        _close_loops(rec, feature_sets, matches, min_matches, loop_gap,
+                     verbose=verbose)
+
+    rec = run_global_ba(rec, iterations=ba_iterations,
+                        huber_delta=huber_delta, prune_threshold=4.0)
     return rec
 
 
-def run_global_ba(rec: Reconstruction, iterations: int = 10) -> Reconstruction:
+def _close_loops(rec: Reconstruction, feature_sets, matches, min_matches,
+                 loop_gap, max_candidates: int = 5, verbose=False) -> None:
+    """Detect loop closures by mean-descriptor retrieval, verify each with
+    a two-view pose, and redistribute drift with the pose graph
+    (sfm/posegraph.py). Mutates rec's poses in place.
+    """
+    from .posegraph import PoseGraph, optimize_pose_graph
+
+    C = rec.num_cameras
+    md = np.stack([
+        feature_sets[v]["desc"].mean(0) for v in rec.view_ids])
+    md /= np.maximum(np.linalg.norm(md, axis=1, keepdims=True), 1e-9)
+    sims = md @ md.T
+
+    cands = []
+    for a in range(C):
+        for b in range(a + loop_gap, C):
+            cands.append((sims[a, b], a, b))
+    cands.sort(reverse=True)
+
+    Rs = np.stack(rec.R)
+    ts = np.stack(rec.t)
+    ei, ej, Rm, tm, wt = [], [], [], [], []
+    # odometry edges from the current estimates anchor the graph
+    for c in range(C - 1):
+        Rrel = Rs[c + 1] @ Rs[c].T
+        ei.append(c)
+        ej.append(c + 1)
+        Rm.append(Rrel)
+        tm.append(ts[c + 1] - Rrel @ ts[c])
+        wt.append(1.0)
+
+    n_loops = 0
+    for sim, a, b in cands[:max_candidates * 4]:
+        if n_loops >= max_candidates:
+            break
+        va, vb = rec.view_ids[a], rec.view_ids[b]
+        mm = matches(va, vb)
+        if len(mm) < min_matches:
+            continue
+        q1 = np.stack([feature_sets[va]["x"][mm[:, 0]],
+                       feature_sets[va]["y"][mm[:, 0]]], 1).astype(np.float32)
+        q2 = np.stack([feature_sets[vb]["x"][mm[:, 1]],
+                       feature_sets[vb]["y"][mm[:, 1]]], 1).astype(np.float32)
+        res = ransac_fundamental(jax.random.PRNGKey(a * 1000 + b),
+                                 jnp.asarray(q1), jnp.asarray(q2),
+                                 jnp.ones(len(q1), bool))
+        if int(jnp.sum(res.inliers)) < min_matches:
+            continue
+        E = essential_from_fundamental(res.F, jnp.asarray(rec.K),
+                                       jnp.asarray(rec.K))
+        Rab, tab, _, front = recover_pose(E, jnp.asarray(q1),
+                                          jnp.asarray(q2),
+                                          jnp.asarray(rec.K),
+                                          jnp.asarray(rec.K),
+                                          valid=res.inliers)
+        if int(jnp.sum(front & res.inliers)) < min_matches // 2:
+            continue
+        Rab = np.asarray(Rab)
+        tab = np.asarray(tab)
+        # two-view translation is unit-norm: scale it to the current
+        # estimate of |t_b - R_ab t_a| (monocular scale is unobservable
+        # from the pair alone)
+        scale = float(np.linalg.norm(ts[b] - Rab @ ts[a]))
+        ei.append(a)
+        ej.append(b)
+        Rm.append(Rab)
+        tm.append(tab * scale)
+        wt.append(1.0)
+        n_loops += 1
+        if verbose:
+            print(f"loop closure: cams {a}<->{b} (views {va}<->{vb}, "
+                  f"sim {sim:.3f})")
+
+    if n_loops == 0:
+        return
+    graph = PoseGraph(
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        R_ij=jnp.asarray(np.stack(Rm), jnp.float32),
+        t_ij=jnp.asarray(np.stack(tm), jnp.float32),
+        weight=jnp.asarray(wt, jnp.float32),
+    )
+    R_opt, t_opt = optimize_pose_graph(
+        jnp.asarray(Rs, jnp.float32), jnp.asarray(ts, jnp.float32), graph)
+    rec.R = [np.asarray(R_opt[c], np.float64) for c in range(C)]
+    rec.t = [np.asarray(t_opt[c], np.float64) for c in range(C)]
+
+
+def run_global_ba(rec: Reconstruction, iterations: int = 10,
+                  huber_delta: float = 0.0, loss: str = "cauchy",
+                  prune_threshold: float = 0.0) -> Reconstruction:
+    """Bundle-adjust the whole reconstruction. huber_delta > 0 enables the
+    robust loss (Cauchy by default: SfM tracks carry occasional gross
+    mismatches, and a redescending loss drives their influence to ~0);
+    prune_threshold > 0 additionally zero-weights observations with
+    reprojection error above that many pixels and re-solves."""
+    from .ba import prune_outliers
+
     obs = np.asarray([(c, p, u, v) for c, p, u, v in rec.obs
                       if p < rec.points.shape[0]])
     if len(obs) < 10:
@@ -315,7 +435,14 @@ def run_global_ba(rec: Reconstruction, iterations: int = 10) -> Reconstruction:
     st = BAState(R=jnp.asarray(np.stack(rec.R), jnp.float32),
                  t=jnp.asarray(np.stack(rec.t), jnp.float32),
                  X=jnp.asarray(rec.points, jnp.float32), intr=intr)
-    out, _ = bundle_adjust(st, prob, iterations=iterations)
+    out, _ = bundle_adjust(st, prob, iterations=iterations,
+                           huber_delta=huber_delta, loss=loss)
+    if prune_threshold > 0:
+        prob, npruned = prune_outliers(out, prob, prune_threshold)
+        if npruned:
+            out, _ = bundle_adjust(out, prob,
+                                   iterations=max(3, iterations // 2),
+                                   huber_delta=huber_delta, loss=loss)
     rec.R = [np.asarray(out.R[i]) for i in range(C)]
     rec.t = [np.asarray(out.t[i]) for i in range(C)]
     rec.points = np.asarray(out.X)

@@ -211,6 +211,79 @@ def recover_pose(E, p1, p2, K1, K2, valid=None):
     return Rb, tb, Xb, fb
 
 
+class PnPResult(NamedTuple):
+    R: jnp.ndarray          # (3, 3)
+    t: jnp.ndarray          # (3,)
+    inliers: jnp.ndarray    # (N,) bool
+    num_inliers: jnp.ndarray
+
+
+def _dlt_pose6(X, x_norm):
+    """6-point DLT pose [R|t] from 3D-2D (normalized) correspondences.
+
+    X: (6, 3), x_norm: (6, 2). Returns (R, t, ok) - branch-free, so it
+    vmaps across RANSAC hypotheses.
+    """
+    ones = jnp.ones((X.shape[0], 1))
+    Xh = jnp.concatenate([X, ones], axis=1)              # (6, 4)
+    u_, v_ = x_norm[:, 0], x_norm[:, 1]
+    zeros = jnp.zeros_like(Xh)
+    rows1 = jnp.concatenate([zeros, -Xh, v_[:, None] * Xh], axis=1)
+    rows2 = jnp.concatenate([Xh, zeros, -u_[:, None] * Xh], axis=1)
+    A = jnp.concatenate([rows1, rows2], axis=0)          # (12, 12)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    P = vt[-1].reshape(3, 4)
+    M = P[:, :3]
+    um, sm, vtm = jnp.linalg.svd(M)
+    d = jnp.sign(jnp.linalg.det(um @ vtm))
+    R = um @ jnp.diag(jnp.stack([jnp.float32(1.0), jnp.float32(1.0), d])) \
+        @ vtm
+    scale = jnp.mean(sm) * d
+    ok = jnp.abs(scale) > 1e-12
+    t = P[:, 3] / jnp.where(ok, scale, 1.0)
+    return R, t, ok
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def ransac_pnp(key, pts3d, pts2d, valid, K, threshold: float = 8.0,
+               num_hypotheses: int = 256) -> PnPResult:
+    """Batched-hypothesis PnP: register a camera from 2D-3D matches.
+
+    TPU-native replacement for the sequential NumPy DLT loop: all
+    hypotheses' 6-point DLTs run as one vmapped batch and score against
+    the full correspondence set in a single (H, N) residual matrix - the
+    same pattern as ransac_fundamental.
+
+    pts3d: (N, 3) world points; pts2d: (N, 2) pixels; valid: (N,) mask;
+    K: (3, 3) intrinsics. threshold: reprojection-error inlier gate (px).
+    """
+    n = pts3d.shape[0]
+    Ki = jnp.linalg.inv(K)
+    ones = jnp.ones((n, 1))
+    norm2d = (jnp.concatenate([pts2d, ones], axis=1) @ Ki.T)[:, :2]
+
+    probs = valid.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1e-12)
+    idx = jax.random.choice(key, n, shape=(num_hypotheses, 6), p=probs)
+
+    Rs, ts, oks = jax.vmap(
+        lambda i: _dlt_pose6(pts3d[i], norm2d[i]))(idx)
+
+    def reproj_err(R, t):
+        xc = pts3d @ R.T + t
+        z = jnp.maximum(xc[:, 2], 1e-9)
+        pix = (xc[:, :2] / z[:, None]) @ K[:2, :2].T + K[:2, 2]
+        err = jnp.linalg.norm(pix - pts2d, axis=1)
+        return jnp.where((xc[:, 2] > 0) & valid, err, jnp.inf)
+
+    errs = jax.vmap(reproj_err)(Rs, ts)                   # (H, N)
+    inl = (errs < threshold) & oks[:, None]
+    scores = jnp.sum(inl.astype(jnp.int32), axis=1)
+    best = jnp.argmax(scores)
+    return PnPResult(R=Rs[best], t=ts[best], inliers=inl[best],
+                     num_inliers=scores[best])
+
+
 def type_aware_match_mask(type1, type2):
     """HessGPU's typed keypoints enable type-consistent matching: dark blobs
     match dark blobs, bright match bright, saddles match saddles.

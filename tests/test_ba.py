@@ -105,3 +105,42 @@ def test_ba_respects_weights(rng):
     prob2 = prob._replace(weight=jnp.asarray(w))
     out, _ = bundle_adjust(init, prob2, iterations=20)
     assert reprojection_rmse(out, prob2) < 0.05
+
+
+def test_huber_ba_resists_outliers(rng):
+    """Gross outlier observations: plain BA gets dragged, a redescending
+    (Cauchy) robust loss + pruning recovers near the clean solution."""
+    from hessgpu_tpu.sfm.ba import prune_outliers
+
+    gt, init, prob = _make_problem(rng)
+    uv = np.asarray(prob.uv).copy()
+    n_out = len(uv) // 10
+    idx = rng.choice(len(uv), n_out, replace=False)
+    uv[idx] += rng.rand(n_out, 2) * 200 + 50
+    prob_bad = prob._replace(uv=jnp.asarray(uv))
+
+    out_plain, _ = bundle_adjust(init, prob_bad, iterations=15)
+    out_rob, _ = bundle_adjust(init, prob_bad, iterations=15,
+                               huber_delta=2.0, loss="cauchy")
+    probp, npruned = prune_outliers(out_rob, prob_bad, threshold=4.0)
+    assert npruned >= n_out * 0.8, npruned
+    out_rob, _ = bundle_adjust(out_rob, probp, iterations=8,
+                               huber_delta=2.0, loss="cauchy")
+
+    # measure on the clean inlier set only
+    mask = np.ones(len(uv), bool)
+    mask[idx] = False
+    clean = prob._replace(weight=jnp.asarray(mask.astype(np.float32)))
+    rmse_plain = reprojection_rmse(out_plain, clean)
+    rmse_rob = reprojection_rmse(out_rob, clean)
+    assert rmse_rob < 0.1, rmse_rob
+    assert rmse_rob < rmse_plain
+
+
+def test_prune_outliers_counts(rng):
+    gt, init, prob = _make_problem(rng)
+    # ground-truth state: every observation is exact, so nothing prunes
+    from hessgpu_tpu.sfm.ba import prune_outliers
+    prob2, n = prune_outliers(gt, prob, threshold=1.0)
+    assert n == 0
+    assert np.all(np.asarray(prob2.weight) == np.asarray(prob.weight))

@@ -91,3 +91,33 @@ def test_incremental_sfm_reprojection(rng):
         pv = K[1, 1] * xc[1] / xc[2] + K[1, 2]
         errs.append(np.hypot(pu - u, pv - v))
     assert np.median(errs) < 0.1, np.median(errs)
+
+
+def test_incremental_sfm_skips_bad_view(rng):
+    """A corrupted middle view is skipped (lookback registration bridges
+    the gap) instead of truncating the reconstruction."""
+    K, Rs, ts, X, feats = _synthetic_sequence(rng, n_views=7)
+    # destroy view 3's descriptors so it cannot match anything
+    feats[3] = dict(feats[3])
+    feats[3]["desc"] = np.abs(rng.randn(*feats[3]["desc"].shape)) \
+        .astype(np.float32)
+    rec = reconstruct_sequence(feats, K, ba_every=2)
+    assert rec is not None
+    assert rec.view_ids is not None and 3 not in rec.view_ids
+    assert rec.num_cameras == 6  # all other views registered
+    good = [v for v in range(7) if v != 3]
+    est = camera_centers(rec.R, rec.t)
+    gt = camera_centers([Rs[v] for v in good], [ts[v] for v in good])
+    assert ate_rmse(est, gt) < 0.05
+
+
+def test_incremental_sfm_loop_closure(rng):
+    """A long orbit sequence: loop-closure edges + pose graph keep ATE low
+    and the pose-graph path actually executes (loop_gap small enough)."""
+    K, Rs, ts, X, feats = _synthetic_sequence(rng, n_views=12, noise=0.2)
+    rec = reconstruct_sequence(feats, K, ba_every=3, loop_gap=6)
+    assert rec is not None
+    assert rec.num_cameras == 12
+    est = camera_centers(rec.R, rec.t)
+    gt = camera_centers(Rs, ts)
+    assert ate_rmse(est, gt) < 0.05

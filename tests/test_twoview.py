@@ -89,3 +89,24 @@ def test_type_aware_mask():
     t2 = jnp.asarray([2, 0])
     m = np.asarray(type_aware_match_mask(t1, t2))
     assert m.tolist() == [[False, True], [False, False], [True, False]]
+
+
+def test_ransac_pnp_recovers_pose(rng):
+    """Batched-hypothesis PnP recovers a camera from 2D-3D matches with
+    outliers (TPU-native replacement for the sequential DLT loop)."""
+    from hessgpu_tpu.sfm.twoview import ransac_pnp
+
+    K, R, t, X, p1, p2 = _synthetic_scene(rng, n=128, noise=0.2,
+                                          outliers=25)
+    valid = jnp.ones(len(X), bool)
+    res = ransac_pnp(jax.random.PRNGKey(0), jnp.asarray(X, jnp.float32),
+                     jnp.asarray(p2), valid, jnp.asarray(K, jnp.float32),
+                     threshold=3.0)
+    dR = np.asarray(res.R) @ R.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 1.0, ang
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=0.05)
+    assert int(res.num_inliers) > 80
+    # the injected outliers are rejected
+    assert np.asarray(res.inliers)[np.asarray(res.inliers)].sum() \
+        == int(res.num_inliers)
