@@ -21,6 +21,7 @@ def parse_cli(argv: List[str]):
     out_path = None
     do_time = False
     do_speed = False
+    dump_dir = None
     rest: List[str] = []
     i = 0
     while i < len(argv):
@@ -48,6 +49,11 @@ def parse_cli(argv: List[str]):
             do_time = True
         elif a == "-speed":
             do_speed = True
+        elif a == "--dump-intermediates":
+            # reference DEBUG_SIFTGPU texture dumps (SiftPyramid.cpp:573-635)
+            # + the 7 viewer views, as PNGs per image
+            i += 1
+            dump_dir = argv[i]
         else:
             rest.append(a)
             if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
@@ -55,14 +61,14 @@ def parse_cli(argv: List[str]):
                 rest.append(argv[i + 1])
                 i += 1
         i += 1
-    return images, out_path, do_time, do_speed, rest
+    return images, out_path, do_time, do_speed, dump_dir, rest
 
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     from hessgpu_tpu import HessianSift, SiftConfig
 
-    images, out_path, do_time, do_speed, rest = parse_cli(argv)
+    images, out_path, do_time, do_speed, dump_dir, rest = parse_cli(argv)
     if not images:
         print("usage: hess (-i <images...> | -il <list>) [-o out.sift] "
               "[-time] [-speed] [sift options]", file=sys.stderr)
@@ -73,15 +79,22 @@ def main(argv=None):
 
     for idx, img_path in enumerate(images):
         if do_speed:
-            # hessgpucmd -speed: average over 10 runs (hessgpucmd.cpp:246-300)
-            sift.run(img_path)  # warmup/compile
-            n_runs = 10
-            t0 = time.perf_counter()
-            for _ in range(n_runs):
-                feats = sift.run(img_path)
-            dt = time.perf_counter() - t0
-            print(f"{img_path}: {feats['x'].shape[0]} features, "
-                  f"{n_runs / dt:.2f} Hz ({1000 * dt / n_runs:.1f} ms/img)")
+            # reference speed protocol: warm-up, then 2 sets of 30 reruns
+            # with a per-run feature-count determinism check ("+" match /
+            # "e" mismatch), reporting Hz per set (speed.cpp:60-160)
+            feats = sift.run(img_path)  # warmup/compile
+            num0 = feats["x"].shape[0]
+            for s in range(2):
+                n_runs = 30
+                marks = []
+                t0 = time.perf_counter()
+                for _ in range(n_runs):
+                    feats = sift.run(img_path)
+                    marks.append("+" if feats["x"].shape[0] == num0 else "e")
+                dt = time.perf_counter() - t0
+                print(f"{img_path} [set {s + 1}] {''.join(marks)} "
+                      f"{num0} features, {n_runs / dt:.2f} Hz "
+                      f"({1000 * dt / n_runs:.1f} ms/img)")
         else:
             feats = sift.run(img_path)
             if cfg.verbose:
@@ -96,6 +109,14 @@ def main(argv=None):
         if do_time:
             with open(os.path.splitext(img_path)[0] + ".timings", "w") as f:
                 f.write(sift.timer.csv())
+
+        if dump_dir:
+            from ..utils.viz import dump_views
+            from ..io_image import load_image
+            sub = os.path.join(
+                dump_dir,
+                os.path.splitext(os.path.basename(img_path))[0])
+            dump_views(load_image(img_path), cfg, out_dir=sub)
     return 0
 
 

@@ -60,7 +60,7 @@ class HessianSift:
             self._last_image = img  # kept for keypoint-list re-entry
 
         with self.timer.stage("pipeline"):
-            table = detect_and_describe(img, self.config)
+            table, aux = detect_and_describe(img, self.config)
             table.x.block_until_ready()
 
         with self.timer.stage("download"):
@@ -72,9 +72,28 @@ class HessianSift:
                 feats["y"] = scale * (feats["y"] - off) + off
                 feats["sigma"] = scale * feats["sigma"]
 
+        self._report_verbose(feats, aux)
         self._last_table = table
         self._last_feats = feats
         return feats
+
+    def _report_verbose(self, feats: dict, aux: dict) -> None:
+        """Reference-style observability: per-(octave, level) feature
+        counts at -v >= 2 (PyramidCU.cpp:1327-1343) and the
+        feature-reduction report when truncation dropped keypoints
+        (SiftPyramid.cpp:219-247)."""
+        v = self.config.verbose
+        if v < 2:
+            return
+        counts = np.asarray(aux["level_counts"])
+        s = len(self.config.scale_params().key_levels)
+        for i, c in enumerate(counts.tolist()):
+            o, kl = divmod(i, s)
+            print(f"#  octave {o} level {kl + 1}: {c} features")
+        pre = int(aux["pre_count"])
+        post = int(feats["x"].shape[0])
+        if post < pre:
+            print(f"#Features Reduced: {pre} -> {post}")
 
     # -- accessors (reference GetFeatureNum/GetFeatureVector) --------------
     @property
@@ -175,3 +194,14 @@ class HessianSift:
 
     def set_max_dimension(self, maxd: int) -> None:
         self.config.max_dim = maxd
+
+    def device_stage_report(self, image) -> "OrderedDict":
+        """Per-stage DEVICE-time breakdown with reference TIMINGS_* bucket
+        names (config.h:17-31), recovered from a profiler trace of the
+        fused pipeline - see utils.timing.device_stage_breakdown."""
+        from .pyramid import prepare_input, run_pipeline_jit
+        from .utils.timing import device_stage_breakdown
+        img = load_image(image) if isinstance(image, str) else image
+        img, _ = limit_working_size(img, self.config.max_dim)
+        arr, plan, ckey = prepare_input(img, self.config)
+        return device_stage_breakdown(run_pipeline_jit, arr, plan, ckey)

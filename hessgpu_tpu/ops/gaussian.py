@@ -30,18 +30,28 @@ def conv1d_clamped(x: jnp.ndarray, taps: Sequence[float], axis: int) -> jnp.ndar
     pad = [(0, 0)] * x.ndim
     pad[axis] = (r, r)
     xp = jnp.pad(x, pad, mode="edge")
+    return conv1d_valid(xp, taps, axis)
 
-    # Use XLA's native convolution: reshape to NCHW with a single channel.
+
+def conv1d_valid(x: jnp.ndarray, taps: Sequence[float], axis: int) -> jnp.ndarray:
+    """1-D VALID convolution along `axis` (output shrinks by len(taps)-1).
+
+    Callers that need custom boundary rows (e.g. the spatially sharded
+    pipeline's halo exchange, parallel/spatial.py) concatenate them and use
+    this so each output element is the exact same XLA conv reduction as
+    conv1d_clamped - results stay bit-identical to the single-chip path.
+    """
+    taps = np.asarray(taps, dtype=np.float32)
+    # XLA's native convolution: reshape to NCHW with a single channel.
     shape = x.shape
-    h, w = shape[-2], shape[-1]
     batch = int(np.prod(shape[:-2])) if x.ndim > 2 else 1
-    xp4 = xp.reshape((batch, 1) + xp.shape[-2:])
+    xp4 = x.reshape((batch, 1) + shape[-2:])
     if axis % x.ndim == x.ndim - 1:
         rhs = jnp.asarray(taps).reshape(1, 1, 1, len(taps))
-        window = (1, len(taps))
+        out_hw = (shape[-2], shape[-1] - len(taps) + 1)
     else:
         rhs = jnp.asarray(taps).reshape(1, 1, len(taps), 1)
-        window = (len(taps), 1)
+        out_hw = (shape[-2] - len(taps) + 1, shape[-1])
     out = jax.lax.conv_general_dilated(
         xp4, rhs,
         window_strides=(1, 1),
@@ -49,7 +59,7 @@ def conv1d_clamped(x: jnp.ndarray, taps: Sequence[float], axis: int) -> jnp.ndar
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
     )
-    return out.reshape(shape[:-2] + (h, w))
+    return out.reshape(shape[:-2] + out_hw)
 
 
 def blur(x: jnp.ndarray, sigma: float, filter_width_factor: float = 4.0) -> jnp.ndarray:

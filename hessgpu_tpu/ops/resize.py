@@ -21,9 +21,21 @@ _LUMA = (0.299, 0.587, 0.114)
 
 
 def downsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:
-    """Decimate (H, W) by 2**log_scale, keeping pixels at multiples of the step."""
+    """Decimate (H, W) by 2**log_scale, keeping pixels at multiples of the step.
+
+    Implemented as a strided 1x1 convolution: XLA lowers x[::s, ::s] to a
+    gather on TPU (~0.8 ms for 640x480 - it dominates pyramid build),
+    while a strided conv is a native windowed op (~us).
+    """
     s = 1 << log_scale
-    return x[..., ::s, ::s]
+    if x.ndim != 2:
+        return x[..., ::s, ::s]
+    h, w = x.shape
+    out = jax.lax.conv_general_dilated(
+        x[None, None, : (h - 1) // s * s + 1, : (w - 1) // s * s + 1],
+        jnp.ones((1, 1, 1, 1), x.dtype),
+        window_strides=(s, s), padding="VALID")
+    return out[0, 0]
 
 
 def upsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:

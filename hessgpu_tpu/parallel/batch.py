@@ -34,7 +34,7 @@ def _batched_pipeline(imgs, plan: PipelinePlan, cfg_key) -> FeatureTable:
     scalar-prefetch grids that don't vmap; an unrolled batch keeps every
     image's work in one jitted program with identical throughput.
     """
-    tables = [run_pipeline(imgs[i], plan, cfg_key.cfg)
+    tables = [run_pipeline(imgs[i], plan, cfg_key.cfg)[0]
               for i in range(imgs.shape[0])]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *tables)
 
@@ -62,7 +62,7 @@ def detect_batch(images: np.ndarray, cfg: Optional[SiftConfig] = None,
     spec_in = P(axis)
 
     def local_fn(local_imgs):
-        tables = [run_pipeline(local_imgs[i], plan, ckey.cfg)
+        tables = [run_pipeline(local_imgs[i], plan, ckey.cfg)[0]
                   for i in range(local_imgs.shape[0])]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *tables)
 

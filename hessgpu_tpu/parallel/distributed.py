@@ -49,13 +49,19 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
                   mutual_best: bool = True) -> jnp.ndarray:
     """Pairwise matching with d1's rows sharded across the mesh.
 
-    d1: (N1, 128) u8, N1 divisible by mesh size; d2: (N2, 128) u8
-    (replicated). Returns (N1,) match index per row or -1 - identical to
-    matcher._match_core, but the (N1, N2) dot matrix lives sharded.
+    d1: (N1, 128) u8 (any N1 - rows are zero-padded up to a multiple of
+    the mesh size; zero descriptors dot to 0 and can never pass the
+    `best > 0` acceptance gates, so padding rows report -1 and are sliced
+    off); d2: (N2, 128) u8 (replicated). Returns (N1,) match index per
+    row or -1 - identical to matcher._match_core, but the (N1, N2) dot
+    matrix lives sharded.
     """
     axis = mesh.axis_names[0]
     n1 = d1.shape[0]
-    nloc = n1 // mesh.size
+    n1p = -(-n1 // mesh.size) * mesh.size
+    if n1p != n1:
+        d1 = jnp.pad(d1, ((0, n1p - n1), (0, 0)))
+    nloc = n1p // mesh.size
 
     def local_fn(d1s, d2r):
         a = d1s.astype(jnp.bfloat16)
@@ -113,4 +119,4 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
                                out_specs=P(axis)))
     d1p = jax.device_put(d1, NamedSharding(mesh, P(axis, None)))
     d2p = jax.device_put(d2, NamedSharding(mesh, P(None, None)))
-    return fn(d1p, d2p)
+    return fn(d1p, d2p)[:n1]

@@ -51,25 +51,21 @@ def _exchange_halo(block: jnp.ndarray, halo: int, axis_name: str):
 
 def _blur_block(block, taps, axis_name):
     """Separable blur of a row shard with halo exchange for the vertical
-    pass (the horizontal pass is shard-local)."""
-    taps_arr = jnp.asarray(np.asarray(taps, np.float32))
+    pass (the horizontal pass is shard-local).
+
+    Both passes run through the same XLA convolution as the single-chip
+    path (ops.gaussian.conv1d_clamped / conv1d_valid), so each output
+    element is the identical reduction and results match the single-chip
+    pipeline bit-for-bit."""
+    from ..ops.gaussian import conv1d_clamped, conv1d_valid
+
     r = len(taps) // 2
-
     # horizontal: local, clamp-to-edge
-    xp = jnp.pad(block, ((0, 0), (r, r)), mode="edge")
-    out = jnp.zeros_like(block)
-    for i in range(len(taps)):
-        out = out + taps_arr[i] * jax.lax.dynamic_slice_in_dim(
-            xp, i, block.shape[1], axis=1)
-
-    # vertical: exchange halos, then valid conv
+    out = conv1d_clamped(block, taps, axis=1)
+    # vertical: halo rows replace the edge padding, then a valid conv
     top, bot = _exchange_halo(out, r, axis_name)
-    ext = jnp.concatenate([top, out, bot], axis=0)
-    res = jnp.zeros_like(block)
-    for i in range(len(taps)):
-        res = res + taps_arr[i] * jax.lax.dynamic_slice_in_dim(
-            ext, i, block.shape[0], axis=0)
-    return res
+    return conv1d_valid(jnp.concatenate([top, out, bot], axis=0), taps,
+                        axis=0)
 
 
 def sharded_blur(img: jnp.ndarray, sigma: float, mesh: Mesh,
@@ -110,10 +106,7 @@ def sharded_hessian_response(img: jnp.ndarray, sigmas: Sequence[float],
             levels.append(_blur_block(levels[-1], taps, axis))
         stack = jnp.stack(levels)
 
-        # 3x3 stencil with 1-row halo
-        top, bot = _exchange_halo(
-            stack.reshape(-1, stack.shape[-1]), 1, axis_name=axis)
-        # exchange per level: do it level-wise to keep rows aligned
+        # 3x3 stencil with a 1-row halo, exchanged per level
         resps = []
         for li in range(stack.shape[0]):
             lv = stack[li]
@@ -130,5 +123,193 @@ def sharded_hessian_response(img: jnp.ndarray, sigmas: Sequence[float],
     fn = jax.shard_map(block_fn, mesh=mesh,
                        in_specs=P(axis, None),
                        out_specs=(P(None, axis, None), P(None, axis, None)))
+    sharding = NamedSharding(mesh, P(axis, None))
+    return fn(jax.device_put(img, sharding))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end sharded detection
+# ---------------------------------------------------------------------------
+
+def sharded_detect_keypoints(img: jnp.ndarray, cfg, mesh: Mesh):
+    """Full multi-octave keypoint detection on a row-sharded image.
+
+    Replaces the reference's hard -maxd working-size ceiling
+    (GlobalUtil.cpp:82): an image too tall for one chip is split into row
+    bands across the mesh; blurs and the 3x3x3 NMS stencil exchange 1-row
+    halos with ppermute, each shard compacts its own detections
+    (scatter-free), and coordinates are reported in the global image frame.
+    Detection membership, subpixel refinement, response, sigma, and type
+    match the single-chip pipeline at ULP level (blurs and stencils reuse
+    the same XLA reductions; see _blur_block).
+
+    Octaves stay row-sharded while each shard's band is at least
+    MIN_SHARD_ROWS tall (the halo exchange reaches only ring neighbours,
+    so the band must cover the widest blur radius); smaller octaves are
+    all-gathered and computed replicated - they are a vanishing fraction
+    of the work, and this removes any constraint tying the image height
+    to the octave count.
+
+    img: (H, W) f32 with H divisible by mesh.size.
+    Returns a dict of (L_total, n_shards * cap) arrays:
+    x, y, sigma, response, ftype (i32), valid (bool) - level-major like
+    the single-chip path; within a level, shard-major raster order
+    (replicated octaves report on shard 0).
+    """
+    from ..ops.compaction import compact_level_keypoints
+    from ..ops.keypoint import TYPE_NONE, detect_keypoints_level
+    from ..ops.resize import downsample
+    from ..params import (max_features_per_level, octave_shapes,
+                          required_octaves)
+
+    p = cfg.scale_params()
+    axis = mesh.axis_names[0]
+    n = mesh.size
+    H, W = img.shape
+
+    noct = required_octaves(min(H, W), cfg.min_dim)
+    if cfg.num_octaves > 0:
+        noct = min(noct, cfg.num_octaves)
+    shapes = octave_shapes(H, W, noct)
+    # widest filter is 33 taps (params.gaussian_taps clamp) -> radius 16;
+    # a sharded band must cover it, and its rows must stay even for the
+    # next local downsample
+    MIN_SHARD_ROWS = 32
+    sharded_oct = []
+    for (h, w) in shapes:
+        # 2n | h keeps every shard's band even for the local downsample
+        ok = (h % (2 * n) == 0) and (h // n >= MIN_SHARD_ROWS) and \
+            (not sharded_oct or sharded_oct[-1])
+        sharded_oct.append(ok)
+
+    taps_init = tuple(gaussian_taps(p.initial_blur_sigma(0),
+                                    p.filter_width_factor)) \
+        if p.initial_blur_sigma(0) > 0 else ()
+    taps_inc = tuple(tuple(gaussian_taps(s, p.filter_width_factor))
+                     for s in p.incremental_sigmas())
+    taps_skip = tuple(gaussian_taps(p.octave_restart_sigma(),
+                                    p.filter_width_factor)) \
+        if p.octave_restart_sigma() > 0 else ()
+    norms = tuple((p.level_sigma(l) ** 4)
+                  for l in range(p.level_min, p.level_max + 1))
+    caps = [max(8, max_features_per_level(
+        h, w, cfg.max_feature_percent, cfg.max_level_features) // n + 8)
+        for (h, w) in shapes]
+    cap = max(caps)
+    sigma_step = p.sigmak
+
+    def _ext(x):
+        t, b = _exchange_halo(x, 1, axis)
+        return jnp.concatenate([t, x, b], axis=0)
+
+    def _blur_full(x, taps):
+        # replicated small octave: exactly the single-chip separable blur
+        from ..ops.gaussian import conv1d_clamped
+        x = conv1d_clamped(x, taps, axis=1)
+        return conv1d_clamped(x, taps, axis=0)
+
+    def block_fn(block):
+        shard = jax.lax.axis_index(axis)
+        out = []
+        base = block
+        if not sharded_oct[0]:
+            base = jax.lax.all_gather(base, axis).reshape(H, W)
+        if taps_init:
+            base = _blur_block(base, taps_init, axis) if sharded_oct[0] \
+                else _blur_full(base, taps_init)
+        levels = None
+        for o in range(len(shapes)):
+            shd = sharded_oct[o]
+            blur_o = (lambda x, t: _blur_block(x, t, axis)) if shd \
+                else _blur_full
+            if o > 0:
+                # next octave restarts from the previous octave's level_ds
+                # (reference PyramidCU.cpp:1486-1558 via _build_pyramid)
+                base = downsample(levels[p.level_ds - p.level_min])
+                if sharded_oct[o - 1] and not shd:
+                    # sharded -> replicated transition: gather the rows
+                    base = jax.lax.all_gather(base, axis) \
+                        .reshape(-1, base.shape[1])
+                if taps_skip:
+                    base = blur_o(base, taps_skip)
+            levels = [base]
+            for taps in taps_inc:
+                levels.append(blur_o(levels[-1], taps))
+            hloc = base.shape[0]
+            # global octave height (downsample keeps ceil-halved dims,
+            # matching the single-chip pipeline, not the floor of shapes)
+            ho = hloc * n if shd else hloc
+
+            # det-of-Hessian responses (3x3 stencil; 1-row halo if sharded).
+            # The expression tree mirrors ops.hessian.
+            # hessian_response_and_gradient term-for-term so float
+            # accumulation order (and hence subpixel refinement downstream)
+            # matches the single-chip pipeline bit-for-bit.
+            resps = []
+            for li, lv in enumerate(levels):
+                lvx = _ext(lv) if shd else lv
+                ext = jnp.pad(lvx, ((0 if shd else 1, 0 if shd else 1),
+                                    (1, 1)), mode="edge")
+                c = ext[1:-1, 1:-1]
+                up, down = ext[:-2, 1:-1], ext[2:, 1:-1]
+                left, right = ext[1:-1, :-2], ext[1:-1, 2:]
+                tl, tr = ext[:-2, :-2], ext[:-2, 2:]
+                bl, br = ext[2:, :-2], ext[2:, 2:]
+                lxx = left - 2.0 * c + right
+                lyy = up - 2.0 * c + down
+                lxy = (tr - tl + bl - br) * 0.25
+                resps.append((lxx * lyy - lxy * lxy) * norms[li])
+
+            if shd:
+                grow0 = shard * hloc
+                row_ok = ((grow0 + jnp.arange(hloc)) > 0) \
+                    & ((grow0 + jnp.arange(hloc)) < ho - 1)
+            else:
+                # replicated: every shard sees the full octave; only
+                # shard 0 reports, the others emit empty slots
+                grow0 = 0
+                row_ok = jnp.broadcast_to(shard == 0, (hloc,))
+            for kl in p.key_levels:
+                args_ext = [(_ext(a) if shd else jnp.pad(
+                    a, ((1, 1), (0, 0)), mode="edge"))
+                    for a in (resps[kl - 1], resps[kl], resps[kl + 1],
+                              levels[kl])]
+                maps = detect_keypoints_level(
+                    *args_ext,
+                    threshold=p.threshold,
+                    edge_threshold=p.edge_threshold,
+                    subpixel=cfg.subpixel,
+                    hessian=(cfg.detector == "hessian"),
+                    darkness_adaption=cfg.darkness_adaption)
+                valid = maps.valid[1:-1] & row_ok[:, None]
+                if not shd:
+                    # un-padded border rows must keep the single-chip
+                    # interior rule (rows 0 and ho-1 excluded)
+                    edge = jnp.zeros((hloc,), bool).at[0].set(True) \
+                        .at[hloc - 1].set(True)
+                    valid &= ~edge[:, None]
+                maps = maps._replace(
+                    valid=valid,
+                    response=jnp.where(valid, maps.response[1:-1], 0.0),
+                    dx=maps.dx[1:-1], dy=maps.dy[1:-1], ds=maps.ds[1:-1],
+                    ftype=jnp.where(valid, maps.ftype[1:-1], TYPE_NONE))
+                fl = compact_level_keypoints(
+                    maps, p.key_level_sigma(kl), sigma_step, cap)
+                # local row band -> global frame; octave -> input frame
+                oss = float(1 << o)
+                out.append(dict(
+                    x=jnp.where(fl.valid, oss * (fl.x - 0.5) + 0.5, 0.0),
+                    y=jnp.where(fl.valid,
+                                oss * (fl.y + grow0 - 0.5) + 0.5, 0.0),
+                    sigma=oss * fl.sigma,
+                    response=fl.response,
+                    ftype=jnp.where(fl.valid, fl.ftype, TYPE_NONE),
+                    valid=fl.valid))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *out)
+
+    fn = jax.jit(jax.shard_map(
+        block_fn, mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(None, axis)))
     sharding = NamedSharding(mesh, P(axis, None))
     return fn(jax.device_put(img, sharding))

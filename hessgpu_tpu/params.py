@@ -182,12 +182,14 @@ class ScaleSpaceParams:
     def key_level_sigma(self, key_level: int) -> float:
         """Sigma assigned to keypoints detected at stack index key_level.
 
-        Reference: PyramidCU::GetFeatureOrientations (PyramidCU.cpp:1842-1846):
-        hessian: GetLevelSigma(level + level_min) with level in 1..s.
+        Reference: PyramidCU::GetFeatureOrientations (PyramidCU.cpp:1829-1846):
+        hessian: GetLevelSigma(level + level_min) with level in 1..s;
+        DoG: GetLevelSigma(level + level_min + 1) with level in 0..s-1 —
+        i.e. both personalities assign level_sigma(key_level + level_min)
+        for our 1-based key_level. (DoG[l] = G(l) - G(l-1) carries Lowe
+        index l-1, hence the seeming off-by-one.)
         """
-        if self.detector == "hessian":
-            return self.level_sigma(key_level + self.level_min)
-        return self.level_sigma(key_level + self.level_min + 1)
+        return self.level_sigma(key_level + self.level_min)
 
     def response_norm(self, key_level: int) -> float:
         """Normalization for the det-of-Hessian response at a key level.

@@ -260,7 +260,11 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     sigma_step = p.sigmak
     s = p.num_scales
 
-    octaves = _build_pyramid(img, plan, cfg)
+    # named scopes carry the reference TIMINGS_* bucket names (config.h:
+    # 17-31) into the compiled HLO's op metadata; utils.timing.
+    # device_stage_breakdown maps profiler trace ops back through them.
+    with jax.named_scope("BUILD_PYRAMID"):
+        octaves = _build_pyramid(img, plan, cfg)
 
     # ---- detection + per-level compaction (cheap scatters) -------------------
     all_lists: List[FeatureList] = []
@@ -268,19 +272,27 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     rots: List[jnp.ndarray] = []
     idx = 0
     for o, gauss_oct in enumerate(octaves):
-        maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
+        with jax.named_scope("DETECT_KEYPOINTS"):
+            maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
         for li, kl in enumerate(p.key_levels):
             sigma_l = p.key_level_sigma(kl)
-            fl = compact_level_keypoints(maps[li], sigma_l, sigma_step,
-                                         plan.level_caps[idx])
+            with jax.named_scope("GENERATE_FEATURE_LIST"):
+                fl = compact_level_keypoints(maps[li], sigma_l, sigma_step,
+                                             plan.level_caps[idx])
             all_lists.append(fl)
             grads.append(grad[kl])
             rots.append(rot[kl])
             idx += 1
 
     # ---- global table + flattened pyramid buffers -----------------------------
-    G = min(cfg.global_feature_cap, sum(plan.level_caps))
-    table = _globalize(all_lists, G)
+    # per-(octave, level) counts for the -v report (reference
+    # PyramidCU.cpp:1327-1343) and the pre-reduction total (reference
+    # "#Features Reduced" report, SiftPyramid.cpp:219-247)
+    with jax.named_scope("GENERATE_FEATURE_LIST"):
+        level_counts = jnp.stack([fl.count() for fl in all_lists])
+        G = min(cfg.global_feature_cap, sum(plan.level_caps))
+        table = _globalize(all_lists, G)
+        pre_count = table.count()
 
     flat_grad = jnp.concatenate([g.reshape(-1) for g in grads])
     flat_rot = jnp.concatenate([r.reshape(-1) for r in rots])
@@ -293,14 +305,17 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     # ---- truncation (reference LimitFeatureCount, SiftPyramid.cpp:201-278)
     if cfg.feature_count_threshold > 0:
         k = cfg.feature_count_threshold
-        if cfg.truncate_method == TRUNCATE_TOP_K:
-            table = _recompact(table, _topk_mask(table, k), G)
-        elif cfg.truncate_method == TRUNCATE_KEEP_LOWEST_LEVELS:
-            table = _recompact(
-                table, _level_trunc_mask(table, k, len(all_lists), True), G)
-        elif cfg.truncate_method == TRUNCATE_KEEP_HIGHEST_LEVELS:
-            table = _recompact(
-                table, _level_trunc_mask(table, k, len(all_lists), False), G)
+        with jax.named_scope("FEATURES_REDUCTION"):
+            if cfg.truncate_method == TRUNCATE_TOP_K:
+                table = _recompact(table, _topk_mask(table, k), G)
+            elif cfg.truncate_method == TRUNCATE_KEEP_LOWEST_LEVELS:
+                table = _recompact(
+                    table, _level_trunc_mask(table, k, len(all_lists), True),
+                    G)
+            elif cfg.truncate_method == TRUNCATE_KEEP_HIGHEST_LEVELS:
+                table = _recompact(
+                    table, _level_trunc_mask(table, k, len(all_lists), False),
+                    G)
 
     # ---- orientations (one pass over all levels) ------------------------------
     max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
@@ -319,7 +334,8 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
         from .ops.pallas.patch import (build_padded_stack, descriptor_pallas,
                                        orientation_pallas)
         pad = (max(owin, dwin) - 1) // 2 + 2
-        g_stack, r_stack, plh, plw = build_padded_stack(grads, rots, pad)
+        with jax.named_scope("COMPUTE_ORIENTATIONS"):
+            g_stack, r_stack, plh, plw = build_padded_stack(grads, rots, pad)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 
@@ -376,51 +392,55 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
             table = table._replace(theta=jnp.zeros_like(table.theta))
             G_exp = G
         else:
-            if use_pallas:
-                o_thetas, o_valid = orientation_pallas(
-                    table.x, table.y, table.sigma, table.valid,
-                    table.level_id, g_stack, r_stack, plh, plw,
-                    wsize=owin, pad=pad,
-                    gaussian_factor=cfg.orientation_gaussian_factor,
-                    window_factor=cfg.orientation_window_factor,
-                    peak_threshold=cfg.multi_orientation_threshold,
-                    half_sift=cfg.half_sift, single=single,
-                    max_peaks=cfg.max_orientations,
-                    interpret=interpret)
-            else:
-                ores = compute_orientations_flat(
-                    table.x, table.y, table.sigma, table.valid,
-                    table.level_id, flat_grad, flat_rot,
-                    level_base, level_h, level_w,
-                    wsize=owin,
-                    num_orientations=cfg.max_orientations,
-                    gaussian_factor=cfg.orientation_gaussian_factor,
-                    window_factor=cfg.orientation_window_factor,
-                    peak_threshold=cfg.multi_orientation_threshold,
-                    half_sift=cfg.half_sift,
-                    single=single,
-                )
-                o_thetas, o_valid = ores.thetas, ores.valid
+            with jax.named_scope("COMPUTE_ORIENTATIONS"):
+                if use_pallas:
+                    o_thetas, o_valid = orientation_pallas(
+                        table.x, table.y, table.sigma, table.valid,
+                        table.level_id, g_stack, r_stack, plh, plw,
+                        wsize=owin, pad=pad,
+                        gaussian_factor=cfg.orientation_gaussian_factor,
+                        window_factor=cfg.orientation_window_factor,
+                        peak_threshold=cfg.multi_orientation_threshold,
+                        half_sift=cfg.half_sift, single=single,
+                        max_peaks=cfg.max_orientations,
+                        interpret=interpret)
+                else:
+                    ores = compute_orientations_flat(
+                        table.x, table.y, table.sigma, table.valid,
+                        table.level_id, flat_grad, flat_rot,
+                        level_base, level_h, level_w,
+                        wsize=owin,
+                        num_orientations=cfg.max_orientations,
+                        gaussian_factor=cfg.orientation_gaussian_factor,
+                        window_factor=cfg.orientation_window_factor,
+                        peak_threshold=cfg.multi_orientation_threshold,
+                        half_sift=cfg.half_sift,
+                        single=single,
+                    )
+                    o_thetas, o_valid = ores.thetas, ores.valid
             if single:
                 table = table._replace(theta=o_thetas[:, 0])
                 G_exp = G
             else:
-                G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
-                mask = (o_valid & table.valid[:, None]).reshape(-1)
-                rep = lambda a: jnp.repeat(a, 4)
-                cnt, outs, slot_valid = compact_mask(
-                    mask,
-                    [rep(table.x), rep(table.y), rep(table.sigma),
-                     o_thetas.reshape(-1), rep(table.response),
-                     rep(table.ftype), rep(table.level_id)],
-                    G_exp,
-                )
-                x, y, sg, th, r, ft, lid = outs
-                table = GlobalTable(x=x, y=y, sigma=sg, theta=th, response=r,
-                                    ftype=ft, level_id=lid, valid=slot_valid)
+                with jax.named_scope("MULTI_ORIENTATIONS"):
+                    G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
+                    mask = (o_valid & table.valid[:, None]).reshape(-1)
+                    rep = lambda a: jnp.repeat(a, 4)
+                    cnt, outs, slot_valid = compact_mask(
+                        mask,
+                        [rep(table.x), rep(table.y), rep(table.sigma),
+                         o_thetas.reshape(-1), rep(table.response),
+                         rep(table.ftype), rep(table.level_id)],
+                        G_exp,
+                    )
+                    x, y, sg, th, r, ft, lid = outs
+                    table = GlobalTable(x=x, y=y, sigma=sg, theta=th,
+                                        response=r, ftype=ft, level_id=lid,
+                                        valid=slot_valid)
 
         # ---- descriptors (separate pass) ----------------------------------
         if cfg.compute_descriptors:
+          with jax.named_scope("COMPUTE_DESCRIPTORS"):
             if use_pallas:
                 from .ops.descriptor import normalize_descriptors
                 desc = descriptor_pallas(
@@ -454,7 +474,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     octave_id = table.level_id // s
     oss = jnp.exp2(octave_id.astype(jnp.float32) + cfg.first_octave)
 
-    return FeatureTable(
+    out = FeatureTable(
         x=oss * (table.x - 0.5) + offset,
         y=oss * (table.y - 0.5) + offset,
         sigma=oss * table.sigma,
@@ -466,11 +486,17 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
         valid=table.valid,
         desc=desc,
     )
+    aux = {"level_counts": level_counts, "pre_count": pre_count}
+    return out, aux
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def run_pipeline_jit(img, plan: PipelinePlan, cfg_key) -> FeatureTable:
-    """Jitted wrapper keyed by the static plan + a hashable config."""
+def run_pipeline_jit(img, plan: PipelinePlan, cfg_key):
+    """Jitted wrapper keyed by the static plan + a hashable config.
+
+    Returns (FeatureTable, aux) where aux carries the verbose-report
+    scalars (per-level pre-reduction counts and the pre-reduction total).
+    """
     return run_pipeline(img, plan, cfg_key.cfg)
 
 
@@ -490,8 +516,9 @@ class _CfgKey:
         return isinstance(other, _CfgKey) and self._key == other._key
 
 
-def detect_and_describe(img_np: np.ndarray, cfg: SiftConfig) -> FeatureTable:
-    """Host entry: NumPy image (H, W) or (H, W, C), any uint8/float dtype."""
+def prepare_input(img_np: np.ndarray, cfg: SiftConfig):
+    """Normalize the input + compute the static plan: returns
+    (arr (H, W) f32, plan, cfg_key) - the exact args of run_pipeline_jit."""
     from .ops.resize import rgb_to_gray, to_float
 
     arr = jnp.asarray(img_np)
@@ -510,4 +537,12 @@ def detect_and_describe(img_np: np.ndarray, cfg: SiftConfig) -> FeatureTable:
         arr = upsample(arr, -cfg.first_octave)
     h, w = arr.shape
     plan = make_plan(h, w, cfg)
-    return run_pipeline_jit(arr, plan, _CfgKey(cfg))
+    return arr, plan, _CfgKey(cfg)
+
+
+def detect_and_describe(img_np: np.ndarray, cfg: SiftConfig):
+    """Host entry: NumPy image (H, W) or (H, W, C), any uint8/float dtype.
+
+    Returns (FeatureTable, aux) - see run_pipeline_jit."""
+    arr, plan, ckey = prepare_input(img_np, cfg)
+    return run_pipeline_jit(arr, plan, ckey)

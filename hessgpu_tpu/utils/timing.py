@@ -51,6 +51,86 @@ class StageTimer:
         return head + "\n" + vals + "\n"
 
 
+# ---------------------------------------------------------------------------
+# per-stage DEVICE time (reference TIMINGS_* buckets, config.h:17-31)
+# ---------------------------------------------------------------------------
+
+# reference bucket names; LOAD_IMAGE / DOWNLOAD_KEYPOINTS are host-side
+# (StageTimer covers them), GENERATE_VBO has no TPU analogue
+REFERENCE_BUCKETS = (
+    "BUILD_PYRAMID", "DETECT_KEYPOINTS", "GENERATE_FEATURE_LIST",
+    "COMPUTE_ORIENTATIONS", "MULTI_ORIENTATIONS", "COMPUTE_DESCRIPTORS",
+    "FEATURES_REDUCTION", "OTHER", "TOTAL",
+)
+
+def device_stage_breakdown(jitted_fn, *args, runs: int = 5,
+                           trace_dir: str = "/tmp/hessgpu_stage_trace"):
+    """Per-stage DEVICE milliseconds for one jitted pipeline call.
+
+    The reference fences every stage and reads wall clocks
+    (PyramidCU.cpp:52-70); under a single fused XLA program that would
+    destroy the very overlap we rely on, so instead this maps a profiler
+    trace's per-op times back to pipeline stages: run_pipeline wraps each
+    stage in jax.named_scope(bucket), the scope lands in every compiled
+    HLO op's op_name metadata, and trace ops are looked up by HLO op name.
+    Works on the TPU device timeline (device_duration_ps) and the CPU
+    backend's per-op host events (dur). Returns OrderedDict bucket -> ms.
+    """
+    import glob
+    import gzip
+    import json
+    import re
+    import shutil
+
+    import jax
+
+    compiled = jitted_fn.lower(*args).compile()
+    txt = compiled.as_text()
+    meta = {}
+    pat = re.compile(r"%([\w.\-]+) = .*?op_name=\"([^\"]+)\"")
+    for line in txt.splitlines():
+        m = pat.search(line)
+        if m:
+            op_name = m.group(2)
+            for b in REFERENCE_BUCKETS:
+                if b in op_name:
+                    meta[m.group(1)] = b
+                    break
+
+    out = jitted_fn(*args)
+    jax.block_until_ready(out)
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(runs):
+            out = jitted_fn(*args)
+        jax.block_until_ready(out)
+
+    buckets = OrderedDict((b, 0.0) for b in REFERENCE_BUCKETS)
+    for p in glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True):
+        for ev in json.load(gzip.open(p)).get("traceEvents", []):
+            if ev.get("ph") != "X":
+                continue
+            args_d = ev.get("args") or {}
+            if "device_duration_ps" in args_d:
+                # TPU/GPU: device-timeline op events
+                ms = int(args_d["device_duration_ps"]) / 1e9 / runs
+                name = ev.get("name", "")
+            elif "hlo_op" in args_d:
+                # CPU backend: per-op host-thread events (dur in us)
+                ms = float(ev.get("dur", 0)) / 1e3 / runs
+                name = args_d["hlo_op"]
+            else:
+                continue
+            if name.startswith("jit_"):
+                # the module-level event spans all sub-ops: it IS the total
+                buckets["TOTAL"] += ms
+                continue
+            buckets[meta.get(name, "OTHER")] += ms
+    if buckets["TOTAL"] == 0.0:
+        buckets["TOTAL"] = sum(v for b, v in buckets.items() if b != "TOTAL")
+    return buckets
+
+
 import contextlib as _contextlib
 
 

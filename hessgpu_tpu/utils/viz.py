@@ -58,6 +58,39 @@ def draw_keypoints(image: np.ndarray, feats: dict,
     return out
 
 
+def colorize_response(resp: np.ndarray) -> np.ndarray:
+    """Reference DisplayConvertDOG (ProgramCU.cu:3107-3119): gray =
+    clamp(0.5 + 20*response), border forced to 0.5."""
+    a = np.clip(0.5 + 20.0 * np.asarray(resp, np.float32), 0.0, 1.0)
+    a[0, :] = a[-1, :] = a[:, 0] = a[:, -1] = 0.5
+    return a
+
+
+def colorize_gradient(grad: np.ndarray) -> np.ndarray:
+    """Reference DisplayConvertGRD (ProgramCU.cu:3138-3150): gray =
+    clamp(5 * gradient magnitude), border 0."""
+    a = np.clip(5.0 * np.asarray(grad, np.float32), 0.0, 1.0)
+    a[0, :] = a[-1, :] = a[:, 0] = a[:, -1] = 0.0
+    return a
+
+
+def colorize_keymap(resp: np.ndarray, key_valid: np.ndarray,
+                    key_type: np.ndarray) -> np.ndarray:
+    """Reference DisplayConvertKEY (ProgramCU.cu:3169-3230): response map
+    as gray background, keypoint pixels solid red/green/blue by type
+    (dark blob / bright blob / saddle)."""
+    bg = colorize_response(resp)
+    out = np.stack([bg] * 3, -1)
+    valid = np.asarray(key_valid, bool)
+    ftype = np.asarray(key_type)
+    inside = np.zeros_like(valid)
+    inside[1:-1, 1:-1] = True
+    for t, color in TYPE_COLORS.items():
+        m = valid & inside & (ftype == t)
+        out[m] = color
+    return out
+
+
 def dump_views(image: np.ndarray, cfg=None, out_dir: str = "views") -> None:
     """Write the 7 reference views for one image into out_dir."""
     import jax.numpy as jnp
@@ -86,16 +119,28 @@ def dump_views(image: np.ndarray, cfg=None, out_dir: str = "views") -> None:
                        np.asarray(stack[l]), False)
         maps, grad, rot = _detect_octave(stack, plan, cfg)
         for li, kl in enumerate(p.key_levels):
+            # reference DisplayConvertGRD mapping (ProgramCU.cu:3138-3150)
             _save_gray(os.path.join(out_dir, f"4_grad_o{o}_l{kl}.png"),
-                       np.asarray(grad[kl]))
+                       colorize_gradient(np.asarray(grad[kl])),
+                       normalize=False)
         # response maps via the hessian op
         from ..ops import hessian as hops
         norms = [(p.level_sigma(l2) ** 4)
                  for l2 in range(p.level_min, p.level_max + 1)]
         resp, _, _ = hops.hessian_response_and_gradient(stack, norms)
-        for kl in p.key_levels:
+        for li, kl in enumerate(p.key_levels):
+            # reference DisplayConvertDOG mapping (ProgramCU.cu:3107-3119)
             _save_gray(os.path.join(out_dir, f"3_resp_o{o}_l{kl}.png"),
-                       np.asarray(resp[kl]))
+                       colorize_response(np.asarray(resp[kl])),
+                       normalize=False)
+            # colorized keypoint map (DisplayConvertKEY,
+            # ProgramCU.cu:3169-3230): typed detections over the response
+            km = colorize_keymap(np.asarray(resp[kl]),
+                                 np.asarray(maps[li].valid),
+                                 np.asarray(maps[li].ftype))
+            from PIL import Image
+            Image.fromarray((np.clip(km, 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"5_key_o{o}_l{kl}.png"))
 
     sift = HessianSift(cfg)
     feats = sift.run(np.asarray(image))

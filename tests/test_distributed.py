@@ -36,3 +36,19 @@ def test_match_sharded_equals_local(mesh, rng, mutual):
                                    mutual_best=mutual))
     np.testing.assert_array_equal(got, want)
     assert (got[:32] == np.arange(32)).mean() > 0.9
+
+
+@pytest.mark.parametrize("n1", [61, 7])
+def test_match_sharded_pads_uneven_rows(mesh, rng, n1):
+    """N1 not divisible by the mesh size: rows are zero-padded internally
+    and results still equal the local matcher."""
+    d1 = _descs(rng, n1)
+    d2 = _descs(rng, 80)
+    d2[:5] = d1[:5]
+    want = np.asarray(_match_core(
+        jnp.asarray(d1), jnp.asarray(d2),
+        jnp.ones(n1, bool), jnp.ones(80, bool),
+        0.7, 0.8, mutual_best=True))
+    got = np.asarray(match_sharded(jnp.asarray(d1), jnp.asarray(d2), mesh))
+    assert got.shape == (n1,)
+    np.testing.assert_array_equal(got, want)

@@ -42,8 +42,11 @@ def test_repeatability_vs_golden(golden, ours):
         np.minimum(gs[:, None] + 1e-9, osg[None, :] + 1e-9)
     strict = ((d2 < 4.0) & (sr < 1.5)).any(axis=1).mean()
     loose = ((d2 < 9.0) & (sr < 2.0)).any(axis=1).mean()
-    assert strict > 0.55, f"strict repeatability {strict}"
-    assert loose > 0.80, f"loose repeatability {loose}"
+    # measured 85.7% strict / 87.7% loose after the DoG sigma-level fix
+    # (key_level_sigma matches PyramidCU.cpp:1829-1846 for both
+    # personalities); slack below covers backend float noise only
+    assert strict > 0.82, f"strict repeatability {strict}"
+    assert loose > 0.84, f"loose repeatability {loose}"
 
 
 def test_descriptor_agreement(golden, ours):
@@ -58,4 +61,5 @@ def test_descriptor_agreement(golden, ours):
     gd = gd / (np.linalg.norm(gd, axis=1, keepdims=True) + 1e-9)
     od = od / (np.linalg.norm(od, axis=1, keepdims=True) + 1e-9)
     cos = (gd * od).sum(1)
-    assert np.median(cos) > 0.75, np.median(cos)
+    # measured 0.978 after the sigma-level fix (was 0.75-gated before)
+    assert np.median(cos) > 0.9, np.median(cos)

@@ -55,3 +55,83 @@ def test_sharded_hessian_matches(mesh, rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(resp_s), np.asarray(resp),
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end sharded detection
+# ---------------------------------------------------------------------------
+
+def _kp_rows(res):
+    """Valid keypoints as a row-sorted (N, 5) array [x, y, sigma, resp, type]."""
+    v = np.asarray(res["valid"]).ravel()
+    cols = [np.asarray(res[k]).ravel()[v].astype(np.float64)
+            for k in ("x", "y", "sigma", "response", "ftype")]
+    arr = np.stack(cols, 1)
+    return arr[np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))]
+
+
+def _smooth_image(rng, h, w):
+    img = rng.rand(h, w).astype(np.float32)
+    return np.asarray(blur(jnp.asarray(img), 2.0))
+
+
+def test_sharded_detect_matches_pipeline_one_octave(mesh, rng):
+    """8-way sharded detection == the single-chip pipeline, octave 0."""
+    from hessgpu_tpu.config import SiftConfig
+    from hessgpu_tpu.ops.compaction import compact_level_keypoints
+    from hessgpu_tpu.parallel.spatial import sharded_detect_keypoints
+    from hessgpu_tpu.pyramid import _build_pyramid, _detect_octave, make_plan
+
+    cfg = SiftConfig()
+    cfg.num_octaves = 1
+    # low enough that blurred noise yields real detections, high enough
+    # that densities stay below the per-shard caps
+    cfg.threshold = 0.001
+    img = _smooth_image(rng, 256, 320)
+
+    got = _kp_rows(sharded_detect_keypoints(jnp.asarray(img), cfg, mesh))
+
+    p = cfg.scale_params()
+    plan = make_plan(256, 320, cfg)
+    oct0 = _build_pyramid(jnp.asarray(img), plan, cfg)[0]
+    maps, _, _ = _detect_octave(oct0, plan, cfg)
+    rows = []
+    for li, kl in enumerate(p.key_levels):
+        fl = compact_level_keypoints(maps[li], p.key_level_sigma(kl),
+                                     p.sigmak, plan.level_caps[li])
+        v = np.asarray(fl.valid)
+        rows.append(np.stack([
+            np.asarray(fl.x)[v], np.asarray(fl.y)[v],
+            np.asarray(fl.sigma)[v], np.asarray(fl.response)[v],
+            np.asarray(fl.ftype)[v].astype(np.float32)], 1))
+    want = np.concatenate(rows).astype(np.float64)
+    want[:, 0] = want[:, 0] - 0.5 + 0.5   # oss == 1: level == image frame
+    want = want[np.lexsort((want[:, 2], want[:, 1], want[:, 0]))]
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    # agreement is ULP-level: same XLA conv/stencil reductions on
+    # both paths; rtol covers the odd 1-ulp difference at the
+    # block boundaries of large coordinates
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_sharded_detect_multi_octave_matches_one_device(mesh, rng):
+    """Multi-octave (sharded octave 0 + replicated small octaves): the
+    8-device result equals the 1-device run of the same code path."""
+    from hessgpu_tpu.config import SiftConfig
+    from hessgpu_tpu.parallel.spatial import sharded_detect_keypoints
+    from hessgpu_tpu.parallel.distributed import device_mesh
+
+    cfg = SiftConfig()
+    cfg.threshold = 0.001  # see test above
+    img = _smooth_image(rng, 256, 320)  # octave 0 sharded, 1+ replicated
+
+    got = _kp_rows(sharded_detect_keypoints(jnp.asarray(img), cfg, mesh))
+    mesh1 = device_mesh("rows", 1)
+    want = _kp_rows(sharded_detect_keypoints(jnp.asarray(img), cfg, mesh1))
+    assert len(want) > 20, "degenerate test: almost no keypoints"
+    assert got.shape == want.shape, (got.shape, want.shape)
+    # agreement is ULP-level: same XLA conv/stencil reductions on
+    # both paths; rtol covers the odd 1-ulp difference at the
+    # block boundaries of large coordinates
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
