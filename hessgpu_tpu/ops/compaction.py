@@ -88,46 +88,37 @@ def _dense_compact_indices(valid2d: jnp.ndarray, capacity: int):
 
 
 def compact_mask(valid: jnp.ndarray, values: Sequence[jnp.ndarray], capacity: int):
-    """Scatter elements where valid into fixed-size arrays (raster order).
+    """Compact elements where valid into fixed-size arrays (raster order).
 
     valid: bool (...,) mask, flattened internally.
     values: arrays shaped like valid, gathered alongside.
     Returns (count, [compacted values...], compacted_valid) where each output
     has shape (capacity,).
-
-    One scatter compacts the source indices; the payload fields then follow
-    with small (capacity,)-sized gathers - TPU scatters are expensive, so
-    scatter once, not once per field.
     """
-    vflat = valid.reshape(-1)
-    n = vflat.shape[0]
-    pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
-    idx = jnp.where(vflat, pos, capacity)  # out-of-range -> dropped
-    idx = jnp.minimum(idx, capacity)       # overflow also dropped
-
-    count = jnp.minimum(jnp.sum(vflat.astype(jnp.int32)), capacity)
-    src = jnp.zeros((capacity,), jnp.int32)
-    src = src.at[idx].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    src, slot_valid, count = compact_indices(valid, capacity)
     outs = [val.reshape(-1)[src] for val in values]
-    slot_valid = jnp.arange(capacity) < count
     outs = [jnp.where(slot_valid, o, jnp.zeros_like(o)) for o in outs]
     return count, outs, slot_valid
 
 
 def compact_indices(valid: jnp.ndarray, capacity: int):
-    """Like compact_mask but returns the source-index table so callers can
-    gather arbitrary payloads (including 2-D ones) themselves.
+    """First-`capacity` valid flat indices, in index order.
+
+    One lax.top_k over keys that decrease with flat index (so top-k =
+    leftmost valid): XLA lowers the alternative cumsum+scatter to a serial
+    per-update loop on TPU, while top_k stays on the vector units.
 
     Returns (src (capacity,) i32 indices into the flattened input,
     slot_valid (capacity,) bool, count)."""
     vflat = valid.reshape(-1)
     n = vflat.shape[0]
-    pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
-    idx = jnp.where(vflat, pos, capacity)
-    idx = jnp.minimum(idx, capacity)
+    keys = jnp.where(vflat, n - jnp.arange(n, dtype=jnp.int32), 0)
+    k = min(capacity, n)
+    top, _ = jax.lax.top_k(keys, k)
+    src = jnp.where(top > 0, n - top, 0)
+    if k < capacity:
+        src = jnp.pad(src, (0, capacity - k))
     count = jnp.minimum(jnp.sum(vflat.astype(jnp.int32)), capacity)
-    src = jnp.zeros((capacity,), jnp.int32)
-    src = src.at[idx].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     slot_valid = jnp.arange(capacity) < count
     return src, slot_valid, count
 

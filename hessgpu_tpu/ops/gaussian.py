@@ -83,7 +83,8 @@ def build_octave_chain(base: jnp.ndarray, params: ScaleSpaceParams) -> jnp.ndarr
     levels = [base]
     for s in params.incremental_sigmas():
         levels.append(blur(levels[-1], s, params.filter_width_factor))
-    return jnp.stack(levels, axis=0)
+    # axis -3 keeps an optional leading batch dim in front of the levels
+    return jnp.stack(levels, axis=-3)
 
 
 def build_octave_direct(base: jnp.ndarray, params: ScaleSpaceParams) -> jnp.ndarray:

@@ -31,9 +31,11 @@ def octave_chain_pallas(base: jnp.ndarray,
                         interpret: bool = False) -> jnp.ndarray:
     """Whole-octave Gaussian chain in ONE kernel: level l+1 = blur(level l).
 
-    base: (H, W) float32 already blurred to level 0.
+    base: (H, W) or (B, H, W) float32 already blurred to level 0.
     taps_list: per-transition tap vectors (empty/None = identity).
-    Returns (1 + len(taps_list), H, W) with plane 0 = base.
+    Returns (1 + len(taps_list), H, W) with plane 0 = base (a leading B
+    dim carries through: (B, L, H, W)); batches share one kernel with a
+    (B, row-blocks) grid, so program size stays flat in B.
 
     The reference runs FilterImage per level, each a full HBM round-trip
     (PyramidCU.cpp:1542-1548); here each program DMAs one row block of the
@@ -50,7 +52,10 @@ def octave_chain_pallas(base: jnp.ndarray,
     radii = [len(tp) // 2 for tp in taps_list]
     R = sum(radii)
     L = 1 + len(taps_list)
-    h, w = base.shape
+    batched = base.ndim == 3
+    if not batched:
+        base = base[None]
+    B, h, w = base.shape
 
     if h < 32 or w < 32 or R == 0:
         from ..gaussian import conv1d_clamped
@@ -58,10 +63,11 @@ def octave_chain_pallas(base: jnp.ndarray,
         for tp in taps_list:
             x = levels[-1]
             if tp:
+                x = conv1d_clamped(x, tp, axis=2)
                 x = conv1d_clamped(x, tp, axis=1)
-                x = conv1d_clamped(x, tp, axis=0)
             levels.append(x)
-        return jnp.stack(levels, axis=0)
+        out = jnp.stack(levels, axis=1)
+        return out if batched else out[0]
 
     BR = min(_BR, (h + 7) // 8 * 8)
     nblk = pl.cdiv(h, BR)
@@ -69,13 +75,15 @@ def octave_chain_pallas(base: jnp.ndarray,
     wp = (w + 2 * R + 127) // 128 * 128
 
     bot = nblk * BR + brh - (h + R)
-    xp = jnp.pad(base, ((R, max(bot, R)), (R, wp - w - R)), mode="edge")
+    xp = jnp.pad(base, ((0, 0), (R, max(bot, R)), (R, wp - w - R)),
+                 mode="edge")
 
     def kernel(xp_hbm, out_ref, buf, sem):
-        blk = pl.program_id(0)
+        b = pl.program_id(0)
+        blk = pl.program_id(1)
         row0 = pl.multiple_of(blk * BR, 8)
         cp = pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(row0, brh), pl.ds(0, wp)], buf, sem)
+            xp_hbm.at[b, pl.ds(row0, brh), pl.ds(0, wp)], buf, sem)
         cp.start()
         cp.wait()
 
@@ -86,7 +94,7 @@ def octave_chain_pallas(base: jnp.ndarray,
         for l, tp in enumerate(taps_list):
             # emit level l
             coff = R - cum
-            out_ref[l, :, :] = cur[coff:coff + BR, coff:coff + w]
+            out_ref[0, l, :, :] = cur[coff:coff + BR, coff:coff + w]
 
             r = len(tp) // 2
             if r == 0:
@@ -121,14 +129,14 @@ def octave_chain_pallas(base: jnp.ndarray,
             cum += r
 
         coff = R - cum
-        out_ref[L - 1, :, :] = cur[coff:coff + BR, coff:coff + w]
+        out_ref[0, L - 1, :, :] = cur[coff:coff + BR, coff:coff + w]
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(nblk,),
-        out_shape=jax.ShapeDtypeStruct((L, h, w), jnp.float32),
+        grid=(B, nblk),
+        out_shape=jax.ShapeDtypeStruct((B, L, h, w), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((L, BR, w), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((1, L, BR, w), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((brh, wp), jnp.float32),
@@ -136,18 +144,26 @@ def octave_chain_pallas(base: jnp.ndarray,
         ],
         interpret=interpret,
     )(xp)
+    return out if batched else out[0]
 
 
 def blur_pallas(x: jnp.ndarray, taps: Sequence[float]) -> jnp.ndarray:
-    """Separable blur of (H, W) float32 with clamp-to-edge boundaries."""
+    """Separable blur of (H, W) or (B, H, W) float32, clamp-to-edge.
+
+    A leading batch dim rides the grid ((B, row-blocks)) - one compiled
+    kernel regardless of B."""
     taps = tuple(float(t) for t in taps)
     r = len(taps) // 2
-    h, w = x.shape
+    batched = x.ndim == 3
+    if not batched:
+        x = x[None]
+    B, h, w = x.shape
 
     if h < 16 or w < 16:
         from ..gaussian import conv1d_clamped
-        x = conv1d_clamped(x, taps, axis=1)
-        return conv1d_clamped(x, taps, axis=0)
+        x = conv1d_clamped(x, taps, axis=2)
+        out = conv1d_clamped(x, taps, axis=1)
+        return out if batched else out[0]
 
     nblk = pl.cdiv(h, _BR)
     # rows a program must read: block + vertical halo, rounded to sublanes
@@ -158,13 +174,14 @@ def blur_pallas(x: jnp.ndarray, taps: Sequence[float]) -> jnp.ndarray:
     # edge-pad: r on top/left; bottom/right get enough for the last block's
     # aligned DMA (extra area is edge-replicated, never used by outputs)
     bot = (nblk * _BR + brh) - (h + r)
-    xp = jnp.pad(x, ((r, max(bot, r)), (r, wp - w - r)), mode="edge")
+    xp = jnp.pad(x, ((0, 0), (r, max(bot, r)), (r, wp - w - r)), mode="edge")
 
     def kernel(xp_hbm, out_ref, buf, sem):
-        blk = pl.program_id(0)
+        b = pl.program_id(0)
+        blk = pl.program_id(1)
         row0 = pl.multiple_of(blk * _BR, 8)
         cp = pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(row0, brh), pl.ds(0, wp)], buf, sem)
+            xp_hbm.at[b, pl.ds(row0, brh), pl.ds(0, wp)], buf, sem)
         cp.start()
         cp.wait()
 
@@ -175,17 +192,18 @@ def blur_pallas(x: jnp.ndarray, taps: Sequence[float]) -> jnp.ndarray:
         out = taps[0] * hres[0:_BR, :]
         for k in range(1, len(taps)):
             out = out + taps[k] * hres[k:k + _BR, :]
-        out_ref[:, :] = out
+        out_ref[0, :, :] = out
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(nblk,),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        grid=(B, nblk),
+        out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_BR, w), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, _BR, w), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((brh, wp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )(xp)
+    return out if batched else out[0]

@@ -118,13 +118,18 @@ def detect_octave_pallas(
 ):
     """Fused detection for one octave.
 
-    gauss_oct: (L, H, W) Gaussian stack.
+    gauss_oct: (L, H, W) or (B, L, H, W) Gaussian stack; a leading batch
+    dim rides the grid ((B, row-blocks)) so the compiled program is flat
+    in B, and every output gains the same leading dim.
     Returns (per-key-level list of KeypointMaps-like tuples, grad (L, H, W),
     rot (L, H, W)) - gradient maps only populated on key levels.
     """
     from ..keypoint import KeypointMaps
 
-    L, H, W = gauss_oct.shape
+    batched = gauss_oct.ndim == 4
+    if not batched:
+        gauss_oct = gauss_oct[None]
+    B, L, H, W = gauss_oct.shape
     norms = [float(n) for n in norms]
     key_levels = [int(k) for k in key_levels]
     NK = len(key_levels)
@@ -136,14 +141,20 @@ def detect_octave_pallas(
         # XLA path (identical reference math)
         from .. import hessian as hops
         from ..keypoint import detect_keypoints_level
-        resp, grad, rot = hops.hessian_response_and_gradient(
-            gauss_oct, norms, grad_levels=key_levels)
-        maps = [detect_keypoints_level(
-            resp[kl - 1], resp[kl], resp[kl + 1], gauss_oct[kl],
-            threshold=threshold, edge_threshold=edge_threshold,
-            subpixel=subpixel, hessian=True,
-            darkness_adaption=darkness_adaption) for kl in key_levels]
-        return maps, grad, rot
+
+        def one(g):
+            resp, grad, rot = hops.hessian_response_and_gradient(
+                g, norms, grad_levels=key_levels)
+            maps = [detect_keypoints_level(
+                resp[kl - 1], resp[kl], resp[kl + 1], g[kl],
+                threshold=threshold, edge_threshold=edge_threshold,
+                subpixel=subpixel, hessian=True,
+                darkness_adaption=darkness_adaption) for kl in key_levels]
+            return maps, grad, rot
+
+        if not batched:
+            return one(gauss_oct[0])
+        return jax.vmap(one)(gauss_oct)
 
     nblk = pl.cdiv(H, _BR)
     BRH = _BR + 8           # 2-row halos each side, rounded to sublanes
@@ -151,18 +162,20 @@ def detect_octave_pallas(
 
     # edge-pad (2 px left/top; bottom/right up to the aligned extents)
     bot = nblk * _BR + BRH - (H + 2)
-    gp = jnp.pad(gauss_oct, ((0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
+    gp = jnp.pad(gauss_oct,
+                 ((0, 0), (0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
                  mode="edge")
 
     def kernel_for(kl):
       def kernel(g_hbm, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref,
                  type_ref, grad_ref, rot_ref, gbuf, sem):
-        blk = pl.program_id(0)
+        b = pl.program_id(0)
+        blk = pl.program_id(1)
         row0 = pl.multiple_of(blk * _BR, 8)
         # only the 3 planes around the key level are needed (the gauss
         # plane for typing IS plane kl)
         cp = pltpu.make_async_copy(
-            g_hbm.at[pl.ds(kl - 1, 3), pl.ds(row0, BRH), pl.ds(0, Wp)],
+            g_hbm.at[b, pl.ds(kl - 1, 3), pl.ds(row0, BRH), pl.ds(0, Wp)],
             gbuf, sem)
         cp.start()
         cp.wait()
@@ -285,12 +298,12 @@ def detect_octave_pallas(
 
             # (fp16 response quantization happens outside the kernel -
             # Mosaic has no f32->f16 truncation)
-            valid_ref[:, :] = valid.astype(jnp.int32)
-            resp_ref[:, :] = jnp.where(valid, response, 0.0)
-            dx_ref[:, :] = dx
-            dy_ref[:, :] = dy
-            ds_ref[:, :] = dssub
-            type_ref[:, :] = ftype
+            valid_ref[0, :, :] = valid.astype(jnp.int32)
+            resp_ref[0, :, :] = jnp.where(valid, response, 0.0)
+            dx_ref[0, :, :] = dx
+            dy_ref[0, :, :] = dy
+            ds_ref[0, :, :] = dssub
+            type_ref[0, :, :] = ftype
 
             # gradient/rotation of the Gaussian at this key level
             gup = gl[1:1 + _BR, 2:2 + W]
@@ -298,26 +311,26 @@ def detect_octave_pallas(
             dxg = gright - gleft
             dyg = gdown - gup
             mag = 0.5 * jnp.sqrt(dxg * dxg + dyg * dyg)
-            grad_ref[:, :] = mag
-            rot_ref[:, :] = jnp.where(mag == 0.0, 0.0, _atan2(dyg, dxg))
+            grad_ref[0, :, :] = mag
+            rot_ref[0, :, :] = jnp.where(mag == 0.0, 0.0, _atan2(dyg, dxg))
 
         _ = sem  # silence unused in interpret mode
       return kernel
 
     # one pallas_call per key level: 8 full-size outputs per call stay
     # within XLA's scoped-VMEM budget (a 3-level batched variant OOMs)
-    blockspec = pl.BlockSpec((_BR, W), lambda i: (i, 0),
+    blockspec = pl.BlockSpec((1, _BR, W), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
     maps = []
-    zeros = jnp.zeros((H, W), jnp.float32)
+    zeros = jnp.zeros((B, H, W), jnp.float32)
     grad_full = [zeros] * L
     rot_full = [zeros] * L
     for kl in key_levels:
         outs = pl.pallas_call(
             kernel_for(kl),
-            grid=(nblk,),
+            grid=(B, nblk),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((H, W), dt) for dt in
+                jax.ShapeDtypeStruct((B, H, W), dt) for dt in
                 (jnp.int32, jnp.float32, jnp.float32, jnp.float32,
                  jnp.float32, jnp.int32, jnp.float32, jnp.float32)),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -336,4 +349,9 @@ def detect_octave_pallas(
             dx=dxk, dy=dyk, ds=dsk, ftype=typek))
         grad_full[kl] = gradk
         rot_full[kl] = rotk
-    return maps, jnp.stack(grad_full), jnp.stack(rot_full)
+    grad = jnp.stack(grad_full, axis=1)
+    rot = jnp.stack(rot_full, axis=1)
+    if not batched:
+        return ([m._replace(**{f: getattr(m, f)[0] for f in m._fields})
+                 for m in maps], grad[0], rot[0])
+    return maps, grad, rot

@@ -51,22 +51,35 @@ def build_padded_stack(grads: Sequence[jnp.ndarray],
 
     Margins are sized so a tile-aligned window DMA for any in-image keypoint
     stays in bounds. Returns (grad_stack, rot_stack, level_h, level_w).
+
+    Per-level maps may carry a leading batch dim (B, h, w); the result is
+    then (B * L, Hp, Wp) with plane b * L + l = image b's level l, so one
+    per-keypoint kernel launch serves a whole batch (the caller offsets
+    level_id by b * L; level_h/w are tiled to (B * L,) to match).
     """
-    H = max(g.shape[0] for g in grads)
-    W = max(g.shape[1] for g in grads)
+    H = max(g.shape[-2] for g in grads)
+    W = max(g.shape[-1] for g in grads)
     Hp = (H + 2 * pad + 24 + 7) // 8 * 8
     Wp = (W + 2 * pad + 256 + 127) // 128 * 128
+    batched = grads[0].ndim == 3
 
     def place(a):
-        return jnp.pad(a, ((pad, Hp - a.shape[0] - pad),
-                           (pad, Wp - a.shape[1] - pad)))
+        padspec = ((0, 0),) * (a.ndim - 2) + (
+            (pad, Hp - a.shape[-2] - pad), (pad, Wp - a.shape[-1] - pad))
+        return jnp.pad(a, padspec)
 
     # pad+stack in one shot (sequential dynamic_update_slice into a big
     # buffer costs a full-buffer copy per level on TPU)
-    gs = jnp.stack([place(g) for g in grads])
-    rs = jnp.stack([place(r) for r in rots])
-    level_h = jnp.asarray([g.shape[0] for g in grads], jnp.int32)
-    level_w = jnp.asarray([g.shape[1] for g in grads], jnp.int32)
+    gs = jnp.stack([place(g) for g in grads], axis=-3)
+    rs = jnp.stack([place(r) for r in rots], axis=-3)
+    level_h = jnp.asarray([g.shape[-2] for g in grads], jnp.int32)
+    level_w = jnp.asarray([g.shape[-1] for g in grads], jnp.int32)
+    if batched:
+        B = grads[0].shape[0]
+        gs = gs.reshape(-1, Hp, Wp)
+        rs = rs.reshape(-1, Hp, Wp)
+        level_h = jnp.tile(level_h, B)
+        level_w = jnp.tile(level_w, B)
     return gs, rs, level_h, level_w
 
 

@@ -28,14 +28,19 @@ def downsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:
     while a strided conv is a native windowed op (~us).
     """
     s = 1 << log_scale
-    if x.ndim != 2:
+    if not jnp.issubdtype(x.dtype, jnp.floating):
         return x[..., ::s, ::s]
-    h, w = x.shape
+    h, w = x.shape[-2], x.shape[-1]
+    lead = x.shape[:-2]
+    b = 1
+    for d in lead:
+        b *= d
+    xr = x.reshape(b, 1, h, w)
     out = jax.lax.conv_general_dilated(
-        x[None, None, : (h - 1) // s * s + 1, : (w - 1) // s * s + 1],
+        xr[..., : (h - 1) // s * s + 1, : (w - 1) // s * s + 1],
         jnp.ones((1, 1, 1, 1), x.dtype),
         window_strides=(s, s), padding="VALID")
-    return out[0, 0]
+    return out.reshape(lead + out.shape[-2:])
 
 
 def upsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:

@@ -23,20 +23,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SiftConfig
 from ..features import FeatureTable
-from ..pyramid import PipelinePlan, _CfgKey, make_plan, run_pipeline
+from ..pyramid import (PipelinePlan, _CfgKey, make_plan,
+                       run_pipeline_batched)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _batched_pipeline(imgs, plan: PipelinePlan, cfg_key) -> FeatureTable:
     """Full pipeline over a batch of grayscale images (B, H, W).
 
-    Unrolled rather than vmapped: the Pallas per-keypoint kernels use
-    scalar-prefetch grids that don't vmap; an unrolled batch keeps every
-    image's work in one jitted program with identical throughput.
-    """
-    tables = [run_pipeline(imgs[i], plan, cfg_key.cfg)[0]
-              for i in range(imgs.shape[0])]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *tables)
+    One program whose size and compile time are flat in B: dense kernels
+    grid over (B, row-blocks), per-keypoint kernels see one concatenated
+    (B*G) table (pyramid.run_pipeline_batched)."""
+    return run_pipeline_batched(imgs, plan, cfg_key.cfg)[0]
 
 
 def detect_batch(images: np.ndarray, cfg: Optional[SiftConfig] = None,
@@ -62,9 +60,7 @@ def detect_batch(images: np.ndarray, cfg: Optional[SiftConfig] = None,
     spec_in = P(axis)
 
     def local_fn(local_imgs):
-        tables = [run_pipeline(local_imgs[i], plan, ckey.cfg)[0]
-                  for i in range(local_imgs.shape[0])]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *tables)
+        return run_pipeline_batched(local_imgs, plan, ckey.cfg)[0]
 
     out_spec = jax.tree.map(lambda _: P(axis),
                             jax.eval_shape(local_fn,

@@ -82,7 +82,9 @@ def make_plan(height: int, width: int, cfg: SiftConfig) -> PipelinePlan:
 # ---------------------------------------------------------------------------
 
 def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
-    """Gaussian stacks for every octave. img: (H, W) f32 [0,1].
+    """Gaussian stacks for every octave. img: (H, W) f32 [0,1], or
+    (B, H, W) - the batch rides the Pallas grids / conv batch dims, so one
+    compiled program serves any B.
 
     Reference: PyramidCU::BuildPyramid (PyramidCU.cpp:1486-1558).
     On accelerators the separable convolutions run as Pallas kernels
@@ -91,6 +93,7 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
     from .params import gaussian_taps
 
     p = cfg.scale_params()
+    batched = img.ndim == 3
     use_pallas = cfg.use_pallas and jax.default_backend() != "cpu"
 
     if use_pallas:
@@ -118,9 +121,10 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
 
     octaves = []
     base = blur(img, p.initial_blur_sigma(cfg.first_octave))
+    lds = p.level_ds - p.level_min
     for o in range(plan.num_octaves):
         if o > 0:
-            src = octaves[-1][p.level_ds - p.level_min]
+            src = octaves[-1][:, lds] if batched else octaves[-1][lds]
             base = resize.downsample(src, 1)
             skip = p.octave_restart_sigma()
             if skip > 0:
@@ -470,6 +474,194 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                              jnp.float32)
 
     # ---- convert to image coordinates -----------------------------------------
+    offset = 0.0 if cfg.lowe_origin else 0.5
+    octave_id = table.level_id // s
+    oss = jnp.exp2(octave_id.astype(jnp.float32) + cfg.first_octave)
+
+    out = FeatureTable(
+        x=oss * (table.x - 0.5) + offset,
+        y=oss * (table.y - 0.5) + offset,
+        sigma=oss * table.sigma,
+        theta=jnp.where(table.valid,
+                        jnp.mod(TWO_PI - table.theta, TWO_PI), 0.0),
+        response=table.response,
+        level=table.level_id,
+        ftype=table.ftype,
+        valid=table.valid,
+        desc=desc,
+    )
+    aux = {"level_counts": level_counts, "pre_count": pre_count}
+    return out, aux
+
+
+def _detect_octave_batched(gauss_oct: jnp.ndarray, plan: PipelinePlan,
+                           cfg: SiftConfig):
+    """(B, L, H, W) batched octave detection.
+
+    The hessian-personality Pallas kernel grids over (B, row-blocks)
+    natively; other paths (DoG, CPU) vmap the XLA formulation."""
+    p = cfg.scale_params()
+    if cfg.detector == "hessian" and cfg.use_pallas \
+            and jax.default_backend() != "cpu":
+        from .ops.pallas.detect import detect_octave_pallas
+        norms = [(p.level_sigma(l) ** 4)
+                 for l in range(p.level_min, p.level_max + 1)]
+        return detect_octave_pallas(
+            gauss_oct, norms, p.key_levels,
+            threshold=p.threshold, edge_threshold=p.edge_threshold,
+            subpixel=cfg.subpixel,
+            darkness_adaption=cfg.darkness_adaption)
+    return jax.vmap(lambda g: _detect_octave(g, plan, cfg))(gauss_oct)
+
+
+def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
+                         cfg: SiftConfig):
+    """Full detect+describe for a batch (B, H, W) in ONE program flat in B.
+
+    The TPU-native replacement for unrolling run_pipeline per image
+    (compile time and program size then grow linearly in B): dense stages
+    ride a (B, row-blocks) Pallas grid, per-keypoint stages see one
+    concatenated (B * G) table over a (B * L)-plane padded stack (level_id
+    offset by b * L), and the jnp compaction stages vmap. Numerics are
+    identical to run_pipeline per image.
+
+    Returns (FeatureTable with leading dim B, aux dict with
+    level_counts (B, n_levels) and pre_count (B,)).
+    """
+    interpret = jax.default_backend() == "cpu"
+    use_pallas = cfg.use_pallas and not interpret
+    if not use_pallas:
+        # CPU/jnp path: vmap traces the single-image pipeline once
+        return jax.vmap(lambda im: run_pipeline(im, plan, cfg))(imgs)
+
+    p = cfg.scale_params()
+    sigma_step = p.sigmak
+    s = p.num_scales
+    B = imgs.shape[0]
+
+    with jax.named_scope("BUILD_PYRAMID"):
+        octaves = _build_pyramid(imgs, plan, cfg)
+
+    all_lists: List[FeatureList] = []
+    grads: List[jnp.ndarray] = []
+    rots: List[jnp.ndarray] = []
+    idx = 0
+    for o, gauss_oct in enumerate(octaves):
+        with jax.named_scope("DETECT_KEYPOINTS"):
+            maps, grad, rot = _detect_octave_batched(gauss_oct, plan, cfg)
+        for li, kl in enumerate(p.key_levels):
+            sigma_l = p.key_level_sigma(kl)
+            cap = plan.level_caps[idx]
+            with jax.named_scope("GENERATE_FEATURE_LIST"):
+                fl = jax.vmap(lambda m: compact_level_keypoints(
+                    m, sigma_l, sigma_step, cap))(maps[li])
+            all_lists.append(fl)
+            grads.append(grad[:, kl])
+            rots.append(rot[:, kl])
+            idx += 1
+
+    with jax.named_scope("GENERATE_FEATURE_LIST"):
+        level_counts = jnp.stack([fl.count() for fl in all_lists], axis=1)
+        G = min(cfg.global_feature_cap, sum(plan.level_caps))
+        table = jax.vmap(lambda ls: _globalize(ls, G))(all_lists)
+        pre_count = jnp.sum(table.valid.astype(jnp.int32), axis=-1)
+
+    if cfg.feature_count_threshold > 0:
+        k = cfg.feature_count_threshold
+        nl = len(all_lists)
+        with jax.named_scope("FEATURES_REDUCTION"):
+            if cfg.truncate_method == TRUNCATE_TOP_K:
+                table = jax.vmap(
+                    lambda t: _recompact(t, _topk_mask(t, k), G))(table)
+            elif cfg.truncate_method == TRUNCATE_KEEP_LOWEST_LEVELS:
+                table = jax.vmap(lambda t: _recompact(
+                    t, _level_trunc_mask(t, k, nl, True), G))(table)
+            elif cfg.truncate_method == TRUNCATE_KEEP_HIGHEST_LEVELS:
+                table = jax.vmap(lambda t: _recompact(
+                    t, _level_trunc_mask(t, k, nl, False), G))(table)
+
+    max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
+        (sigma_step if cfg.subpixel else 1.0)
+    owin = 2 * int(math.ceil(
+        abs(max_sigma) * cfg.orientation_gaussian_factor
+        * cfg.orientation_window_factor + 1.0)) + 1
+    dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
+
+    from .ops.pallas.patch import (build_padded_stack, descriptor_pallas,
+                                   orientation_pallas)
+    L_tot = len(grads)
+    pad = (max(owin, dwin) - 1) // 2 + 2
+    with jax.named_scope("COMPUTE_ORIENTATIONS"):
+        g_stack, r_stack, plh, plw = build_padded_stack(grads, rots, pad)
+
+    single = cfg.max_orientations <= 1 or cfg.fixed_orientation
+
+    def flat(a):
+        return a.reshape((-1,) + a.shape[2:])
+
+    def offset_lid(t):
+        return t.level_id + jnp.arange(B, dtype=jnp.int32)[:, None] * L_tot
+
+    if cfg.fixed_orientation:
+        table = table._replace(theta=jnp.zeros_like(table.theta))
+    else:
+        with jax.named_scope("COMPUTE_ORIENTATIONS"):
+            o_thetas, o_valid = orientation_pallas(
+                flat(table.x), flat(table.y), flat(table.sigma),
+                flat(table.valid), flat(offset_lid(table)),
+                g_stack, r_stack, plh, plw,
+                wsize=owin, pad=pad,
+                gaussian_factor=cfg.orientation_gaussian_factor,
+                window_factor=cfg.orientation_window_factor,
+                peak_threshold=cfg.multi_orientation_threshold,
+                half_sift=cfg.half_sift, single=single,
+                max_peaks=cfg.max_orientations,
+                interpret=interpret)
+            o_thetas = o_thetas.reshape(B, G, 4)
+            o_valid = o_valid.reshape(B, G, 4)
+        if single:
+            table = table._replace(theta=o_thetas[..., 0])
+        else:
+            with jax.named_scope("MULTI_ORIENTATIONS"):
+                G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
+
+                def expand(t, ot, ov):
+                    mask = (ov & t.valid[:, None]).reshape(-1)
+                    rep = lambda a: jnp.repeat(a, 4)
+                    cnt, outs, slot_valid = compact_mask(
+                        mask,
+                        [rep(t.x), rep(t.y), rep(t.sigma), ot.reshape(-1),
+                         rep(t.response), rep(t.ftype), rep(t.level_id)],
+                        G_exp,
+                    )
+                    x, y, sg, th, r2, ft, lid = outs
+                    return GlobalTable(x=x, y=y, sigma=sg, theta=th,
+                                       response=r2, ftype=ft, level_id=lid,
+                                       valid=slot_valid)
+
+                table = jax.vmap(expand)(table, o_thetas, o_valid)
+
+    if cfg.compute_descriptors:
+        with jax.named_scope("COMPUTE_DESCRIPTORS"):
+            from .ops.descriptor import normalize_descriptors
+            fvalid = flat(table.valid)
+            desc = descriptor_pallas(
+                flat(table.x), flat(table.y), flat(table.sigma),
+                flat(table.theta), fvalid, flat(offset_lid(table)),
+                g_stack, r_stack, plh, plw,
+                wsize=dwin, pad=pad,
+                window_factor=cfg.descriptor_window_factor,
+                interpret=interpret)
+            desc = jnp.where(fvalid[:, None], desc, 0.0)
+            if cfg.half_sift:
+                d = desc.reshape(-1, 16, 8)
+                desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+            if cfg.normalized_sift:
+                desc = normalize_descriptors(desc, fvalid)
+            desc = desc.reshape((B, -1) + desc.shape[1:])
+    else:
+        desc = jnp.zeros(table.x.shape + (cfg.descriptor_dim,), jnp.float32)
+
     offset = 0.0 if cfg.lowe_origin else 0.5
     octave_id = table.level_id // s
     oss = jnp.exp2(octave_id.astype(jnp.float32) + cfg.first_octave)

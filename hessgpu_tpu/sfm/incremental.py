@@ -153,6 +153,7 @@ def reconstruct_sequence(
     loop_closure: bool = True,
     loop_gap: int = 8,
     huber_delta: float = 3.0,
+    mesh=None,
     verbose: bool = False,
 ) -> Optional[Reconstruction]:
     """Incremental SfM over an ordered list of per-image feature dicts
@@ -315,7 +316,8 @@ def reconstruct_sequence(
                      verbose=verbose)
 
     rec = run_global_ba(rec, iterations=ba_iterations,
-                        huber_delta=huber_delta, prune_threshold=4.0)
+                        huber_delta=huber_delta, prune_threshold=4.0,
+                        mesh=mesh)
     return rec
 
 
@@ -410,12 +412,19 @@ def _close_loops(rec: Reconstruction, feature_sets, matches, min_matches,
 
 def run_global_ba(rec: Reconstruction, iterations: int = 10,
                   huber_delta: float = 0.0, loss: str = "cauchy",
-                  prune_threshold: float = 0.0) -> Reconstruction:
+                  prune_threshold: float = 0.0,
+                  mesh=None) -> Reconstruction:
     """Bundle-adjust the whole reconstruction. huber_delta > 0 enables the
     robust loss (Cauchy by default: SfM tracks carry occasional gross
     mismatches, and a redescending loss drives their influence to ~0);
     prune_threshold > 0 additionally zero-weights observations with
-    reprojection error above that many pixels and re-solves."""
+    reprojection error above that many pixels and re-solves.
+
+    mesh: optional jax.sharding.Mesh - after the robust solve (and
+    pruning), the observations are sharded across the mesh and a final
+    distributed LM polish runs via distributed_ba.bundle_adjust_sharded
+    (psum-reduced matrix-free CG), exercising the multi-chip BA path on
+    the real problem."""
     from .ba import prune_outliers
 
     obs = np.asarray([(c, p, u, v) for c, p, u, v in rec.obs
@@ -443,6 +452,10 @@ def run_global_ba(rec: Reconstruction, iterations: int = 10,
             out, _ = bundle_adjust(out, prob,
                                    iterations=max(3, iterations // 2),
                                    huber_delta=huber_delta, loss=loss)
+    if mesh is not None:
+        from .distributed_ba import bundle_adjust_sharded
+        out, _ = bundle_adjust_sharded(out, prob, mesh,
+                                       iterations=max(3, iterations // 2))
     rec.R = [np.asarray(out.R[i]) for i in range(C)]
     rec.t = [np.asarray(out.t[i]) for i in range(C)]
     rec.points = np.asarray(out.X)
