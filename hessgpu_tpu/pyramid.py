@@ -602,21 +602,41 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     def offset_lid(t):
         return t.level_id + jnp.arange(B, dtype=jnp.int32)[:, None] * L_tot
 
+    # The per-keypoint kernels prefetch their geometry tables into SMEM
+    # (~1 MB/core); past ~32k table entries one launch overflows it, so
+    # big batches split into chunked launches of the same compiled kernel.
+    _MAX_TABLE = 32768
+
+    def chunked(kernel_fn, tables, n_out):
+        n = tables[0].shape[0]
+        nch = -(-n // _MAX_TABLE)
+        if nch <= 1:
+            return kernel_fn(*tables)
+        csz = -(-n // nch)
+        outs = [kernel_fn(*(t[i * csz:(i + 1) * csz] for t in tables))
+                for i in range(nch)]
+        if n_out == 1:
+            return jnp.concatenate(outs)
+        return tuple(jnp.concatenate([o[j] for o in outs])
+                     for j in range(n_out))
+
     if cfg.fixed_orientation:
         table = table._replace(theta=jnp.zeros_like(table.theta))
     else:
         with jax.named_scope("COMPUTE_ORIENTATIONS"):
-            o_thetas, o_valid = orientation_pallas(
-                flat(table.x), flat(table.y), flat(table.sigma),
-                flat(table.valid), flat(offset_lid(table)),
-                g_stack, r_stack, plh, plw,
-                wsize=owin, pad=pad,
-                gaussian_factor=cfg.orientation_gaussian_factor,
-                window_factor=cfg.orientation_window_factor,
-                peak_threshold=cfg.multi_orientation_threshold,
-                half_sift=cfg.half_sift, single=single,
-                max_peaks=cfg.max_orientations,
-                interpret=interpret)
+            o_thetas, o_valid = chunked(
+                lambda x, y, sg, vl, lid: orientation_pallas(
+                    x, y, sg, vl, lid,
+                    g_stack, r_stack, plh, plw,
+                    wsize=owin, pad=pad,
+                    gaussian_factor=cfg.orientation_gaussian_factor,
+                    window_factor=cfg.orientation_window_factor,
+                    peak_threshold=cfg.multi_orientation_threshold,
+                    half_sift=cfg.half_sift, single=single,
+                    max_peaks=cfg.max_orientations,
+                    interpret=interpret),
+                (flat(table.x), flat(table.y), flat(table.sigma),
+                 flat(table.valid), flat(offset_lid(table))), 2)
             o_thetas = o_thetas.reshape(B, G, 4)
             o_valid = o_valid.reshape(B, G, 4)
         if single:
@@ -645,13 +665,15 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
         with jax.named_scope("COMPUTE_DESCRIPTORS"):
             from .ops.descriptor import normalize_descriptors
             fvalid = flat(table.valid)
-            desc = descriptor_pallas(
-                flat(table.x), flat(table.y), flat(table.sigma),
-                flat(table.theta), fvalid, flat(offset_lid(table)),
-                g_stack, r_stack, plh, plw,
-                wsize=dwin, pad=pad,
-                window_factor=cfg.descriptor_window_factor,
-                interpret=interpret)
+            desc = chunked(
+                lambda x, y, sg, th, vl, lid: descriptor_pallas(
+                    x, y, sg, th, vl, lid,
+                    g_stack, r_stack, plh, plw,
+                    wsize=dwin, pad=pad,
+                    window_factor=cfg.descriptor_window_factor,
+                    interpret=interpret),
+                (flat(table.x), flat(table.y), flat(table.sigma),
+                 flat(table.theta), fvalid, flat(offset_lid(table))), 1)
             desc = jnp.where(fvalid[:, None], desc, 0.0)
             if cfg.half_sift:
                 d = desc.reshape(-1, 16, 8)
