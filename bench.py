@@ -13,9 +13,9 @@ import time
 import numpy as np
 
 REFERENCE_HZ = 14.3  # doc/statistics.pdf Exp #1, new packed, ~3082 features
-BATCH = 4
+BATCH = 16  # batched pipeline is flat in B; throughput plateaus ~B>=8
 WARMUP = 2
-ITERS = 25
+ITERS = 8
 
 
 def main():

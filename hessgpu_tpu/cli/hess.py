@@ -109,6 +109,12 @@ def main(argv=None):
         if do_time:
             with open(os.path.splitext(img_path)[0] + ".timings", "w") as f:
                 f.write(sift.timer.csv())
+                # reference-grade per-stage granularity (TIMINGS_* buckets,
+                # config.h:17-31): device time recovered from a profiler
+                # trace of the fused pipeline
+                rep = sift.device_stage_report(img_path)
+                f.write(",".join(rep.keys()) + "\n")
+                f.write(",".join(f"{v:.3f}" for v in rep.values()) + "\n")
 
         if dump_dir:
             from ..utils.viz import dump_views

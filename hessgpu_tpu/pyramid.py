@@ -31,7 +31,9 @@ from .config import (SiftConfig, TRUNCATE_KEEP_HIGHEST_LEVELS,
                      TRUNCATE_KEEP_LOWEST_LEVELS, TRUNCATE_TOP_K)
 from .features import FeatureTable
 from .ops import gaussian, hessian, keypoint, resize
-from .ops.compaction import FeatureList, compact_mask, compact_level_keypoints
+from .ops.compaction import (FeatureList, compact_mask,
+                             compact_level_keypoints,
+                             compact_octave_keypoints)
 from .ops.descriptor import (compute_descriptors_flat,
                              descriptor_window_size)
 from .ops.orientation import compute_orientations_flat
@@ -278,12 +280,12 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     for o, gauss_oct in enumerate(octaves):
         with jax.named_scope("DETECT_KEYPOINTS"):
             maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
-        for li, kl in enumerate(p.key_levels):
-            sigma_l = p.key_level_sigma(kl)
-            with jax.named_scope("GENERATE_FEATURE_LIST"):
-                fl = compact_level_keypoints(maps[li], sigma_l, sigma_step,
-                                             plan.level_caps[idx])
-            all_lists.append(fl)
+        sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
+        with jax.named_scope("GENERATE_FEATURE_LIST"):
+            fls = compact_octave_keypoints(maps, sigmas, sigma_step,
+                                           plan.level_caps[idx])
+        all_lists.extend(fls)
+        for kl in p.key_levels:
             grads.append(grad[kl])
             rots.append(rot[kl])
             idx += 1
@@ -549,13 +551,13 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     for o, gauss_oct in enumerate(octaves):
         with jax.named_scope("DETECT_KEYPOINTS"):
             maps, grad, rot = _detect_octave_batched(gauss_oct, plan, cfg)
-        for li, kl in enumerate(p.key_levels):
-            sigma_l = p.key_level_sigma(kl)
-            cap = plan.level_caps[idx]
-            with jax.named_scope("GENERATE_FEATURE_LIST"):
-                fl = jax.vmap(lambda m: compact_level_keypoints(
-                    m, sigma_l, sigma_step, cap))(maps[li])
-            all_lists.append(fl)
+        sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
+        cap = plan.level_caps[idx]
+        with jax.named_scope("GENERATE_FEATURE_LIST"):
+            fls = jax.vmap(lambda ms: compact_octave_keypoints(
+                ms, sigmas, sigma_step, cap))(maps)
+        all_lists.extend(fls)
+        for kl in p.key_levels:
             grads.append(grad[:, kl])
             rots.append(rot[:, kl])
             idx += 1

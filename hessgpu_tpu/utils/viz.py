@@ -92,7 +92,12 @@ def colorize_keymap(resp: np.ndarray, key_valid: np.ndarray,
 
 
 def dump_views(image: np.ndarray, cfg=None, out_dir: str = "views") -> None:
-    """Write the 7 reference views for one image into out_dir."""
+    """Write the reference viewer's views for one image into out_dir:
+    input, Gaussian levels, colorized response (DisplayConvertDOG),
+    colorized gradient (DisplayConvertGRD), colorized typed keypoint maps
+    (DisplayConvertKEY), and the feature-box overlay. DATA_ROT aliases
+    DATA_GRAD in the reference display too (PyramidCU.cpp:1873), so the
+    gradient view covers both."""
     import jax.numpy as jnp
 
     from ..config import SiftConfig
