@@ -125,12 +125,14 @@ def compact_indices(valid: jnp.ndarray, capacity: int):
 
 
 def compact_octave_keypoints(maps, sigmas, sigma_step: float,
-                             capacity: int):
-    """Dense KeypointMaps for ALL key levels of one octave -> FeatureLists.
+                             capacity: int) -> FeatureList:
+    """Dense KeypointMaps for ALL key levels of one octave -> one blocked
+    FeatureList with (NK, capacity) leaves (row k = key level k).
 
-    Same result as compact_level_keypoints per level, but both top_k
-    passes batch over the level dimension (one call on (NK, H, W) instead
-    of NK calls) - fewer, larger ops keep the TPU vector units busy.
+    Same per-level result as compact_level_keypoints, but everything
+    batches over the level dimension - one top_k / gather / where call on
+    (NK, ...) operands instead of NK each. The dozens of tiny per-level
+    ops the split version emitted were pure dispatch overhead on TPU.
     """
     nk = len(maps)
     h, w = maps[0].valid.shape
@@ -154,28 +156,26 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
         src = jnp.pad(src, ((0, 0), (0, capacity - k2)))
     count = jnp.minimum(
         jnp.sum(cand_valid.astype(jnp.int32), axis=(1, 2)), capacity)
-    slot_valid = jnp.arange(capacity)[None, :] < count[:, None]
+    sv = jnp.arange(capacity)[None, :] < count[:, None]  # (NK, cap)
 
-    rows_f = jnp.arange(h, dtype=jnp.float32).reshape(-1, 1)
-    cols_f = jnp.arange(w, dtype=jnp.float32).reshape(1, -1)
-    out = []
-    for li, m in enumerate(maps):
-        x = (cols_f + 0.5 + m.dx).reshape(-1)[src[li]]
-        y = (rows_f + 0.5 + m.dy).reshape(-1)[src[li]]
-        r = m.response.reshape(-1)[src[li]]
-        t = m.ftype.reshape(-1)[src[li]]
-        ds = m.ds.reshape(-1)[src[li]]
-        sv = slot_valid[li]
-        z = jnp.zeros((capacity,), jnp.float32)
-        out.append(FeatureList(
-            x=jnp.where(sv, x, 0.0), y=jnp.where(sv, y, 0.0),
-            sigma=jnp.where(sv, sigmas[li] * jnp.power(sigma_step, ds), 0.0),
-            theta=z,
-            response=jnp.where(sv, r, 0.0),
-            ftype=jnp.where(sv, t, jnp.zeros_like(t)),
-            valid=sv,
-        ))
-    return out
+    rows_f = jnp.arange(h, dtype=jnp.float32).reshape(1, -1, 1)
+    cols_f = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, -1)
+    take = lambda a: jnp.take_along_axis(a.reshape(nk, -1), src, axis=1)
+    x = take(cols_f + 0.5 + jnp.stack([m.dx for m in maps]))
+    y = take(rows_f + 0.5 + jnp.stack([m.dy for m in maps]))
+    r = take(jnp.stack([m.response for m in maps]))
+    t = take(jnp.stack([m.ftype for m in maps]))
+    ds = take(jnp.stack([m.ds for m in maps]))
+    sig = jnp.asarray(sigmas, jnp.float32)[:, None] \
+        * jnp.power(sigma_step, ds)
+    return FeatureList(
+        x=jnp.where(sv, x, 0.0), y=jnp.where(sv, y, 0.0),
+        sigma=jnp.where(sv, sig, 0.0),
+        theta=jnp.zeros((nk, capacity), jnp.float32),
+        response=jnp.where(sv, r, 0.0),
+        ftype=jnp.where(sv, t, jnp.zeros_like(t)),
+        valid=sv,
+    )
 
 
 def compact_level_keypoints(maps, sigma: float, sigma_step: float, capacity: int) -> FeatureList:

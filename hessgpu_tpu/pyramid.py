@@ -189,15 +189,27 @@ class GlobalTable(NamedTuple):
 
 
 def _globalize(lists: List[FeatureList], cap: int) -> GlobalTable:
-    """Concatenate per-level lists and compact into one global table.
+    """Concatenate per-level (or per-octave blocked, with (NK, cap_o)
+    leaves) lists and compact into one global table.
 
-    Keeps level-major order (= the reference's output order)."""
+    Keeps level-major order (= the reference's output order). Level ids
+    per slot are static, so the id vector is a compile-time constant."""
     def cat(field):
-        return jnp.concatenate([getattr(fl, field) for fl in lists])
+        return jnp.concatenate(
+            [getattr(fl, field).reshape(-1) for fl in lists])
 
-    lid = jnp.concatenate([
-        jnp.full((fl.capacity,), i, jnp.int32) for i, fl in enumerate(lists)
-    ])
+    lid_np = []
+    base = 0
+    for fl in lists:
+        v = fl.valid
+        if v.ndim == 2:       # blocked: rows are consecutive levels
+            nk, c = v.shape
+            lid_np.append(np.repeat(base + np.arange(nk), c))
+            base += nk
+        else:
+            lid_np.append(np.full(v.shape[0], base))
+            base += 1
+    lid = jnp.asarray(np.concatenate(lid_np), jnp.int32)
     valid = cat("valid")
     cnt, outs, slot_valid = compact_mask(
         valid,
@@ -282,9 +294,9 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
             maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
         sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         with jax.named_scope("GENERATE_FEATURE_LIST"):
-            fls = compact_octave_keypoints(maps, sigmas, sigma_step,
-                                           plan.level_caps[idx])
-        all_lists.extend(fls)
+            # one blocked list per octave ((NK, cap) leaves)
+            all_lists.append(compact_octave_keypoints(
+                maps, sigmas, sigma_step, plan.level_caps[idx]))
         for kl in p.key_levels:
             grads.append(grad[kl])
             rots.append(rot[kl])
@@ -295,7 +307,8 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     # PyramidCU.cpp:1327-1343) and the pre-reduction total (reference
     # "#Features Reduced" report, SiftPyramid.cpp:219-247)
     with jax.named_scope("GENERATE_FEATURE_LIST"):
-        level_counts = jnp.stack([fl.count() for fl in all_lists])
+        level_counts = jnp.concatenate(
+            [fl.count() for fl in all_lists], axis=-1)
         G = min(cfg.global_feature_cap, sum(plan.level_caps))
         table = _globalize(all_lists, G)
         pre_count = table.count()
@@ -316,11 +329,13 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                 table = _recompact(table, _topk_mask(table, k), G)
             elif cfg.truncate_method == TRUNCATE_KEEP_LOWEST_LEVELS:
                 table = _recompact(
-                    table, _level_trunc_mask(table, k, len(all_lists), True),
+                    table, _level_trunc_mask(table, k, len(plan.level_caps),
+                                             True),
                     G)
             elif cfg.truncate_method == TRUNCATE_KEEP_HIGHEST_LEVELS:
                 table = _recompact(
-                    table, _level_trunc_mask(table, k, len(all_lists), False),
+                    table, _level_trunc_mask(table, k, len(plan.level_caps),
+                                             False),
                     G)
 
     # ---- orientations (one pass over all levels) ------------------------------
@@ -554,23 +569,24 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
         sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         cap = plan.level_caps[idx]
         with jax.named_scope("GENERATE_FEATURE_LIST"):
-            fls = jax.vmap(lambda ms: compact_octave_keypoints(
-                ms, sigmas, sigma_step, cap))(maps)
-        all_lists.extend(fls)
+            # one blocked list per octave ((B, NK, cap) leaves)
+            all_lists.append(jax.vmap(lambda ms: compact_octave_keypoints(
+                ms, sigmas, sigma_step, cap))(maps))
         for kl in p.key_levels:
             grads.append(grad[:, kl])
             rots.append(rot[:, kl])
             idx += 1
 
     with jax.named_scope("GENERATE_FEATURE_LIST"):
-        level_counts = jnp.stack([fl.count() for fl in all_lists], axis=1)
+        level_counts = jnp.concatenate(
+            [fl.count() for fl in all_lists], axis=-1)
         G = min(cfg.global_feature_cap, sum(plan.level_caps))
         table = jax.vmap(lambda ls: _globalize(ls, G))(all_lists)
         pre_count = jnp.sum(table.valid.astype(jnp.int32), axis=-1)
 
     if cfg.feature_count_threshold > 0:
         k = cfg.feature_count_threshold
-        nl = len(all_lists)
+        nl = len(plan.level_caps)
         with jax.named_scope("FEATURES_REDUCTION"):
             if cfg.truncate_method == TRUNCATE_TOP_K:
                 table = jax.vmap(
