@@ -76,6 +76,11 @@ class SiftConfig:
     conv_mode: str = "chain"             # "chain" (reference parity) | "direct"
     dtype: str = "float32"
     verbose: int = 1                     # -v
+    # Reference failure semantics (_siftgpu_failed): a failed run sets
+    # HessianSift.failed/last_error and returns no features instead of
+    # raising. (The server backend has its own equivalent per-command
+    # catch, server_backend.py.)
+    fail_soft: bool = False
 
     def scale_params(self) -> ScaleSpaceParams:
         thr = self.threshold if self.threshold is not None else 0.02 / self.num_scales

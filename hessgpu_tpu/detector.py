@@ -34,6 +34,10 @@ class HessianSift:
         self._last_feats: Optional[dict] = None
         self._image_list: List[str] = []
         self._image_index = 0
+        # reference per-run failure status (_siftgpu_failed,
+        # SiftGPU.cpp RunSIFT returns 0 and the app keeps going)
+        self.failed = False
+        self.last_error: Optional[str] = None
 
     # -- image list management (reference SiftGPU.cpp:229-305) -------------
     def set_image_list(self, paths: List[str]) -> None:
@@ -53,7 +57,32 @@ class HessianSift:
         """Full detect + describe. Returns a dict with keys
         x, y, sigma, theta, response, level, ftype (arrays of shape (N,))
         and desc ((N, 128) float descriptors).
+
+        Failure semantics follow the reference: RunSIFT sets a per-run
+        failure flag and returns "no features" rather than tearing the
+        process down (SiftGPU.cpp `_siftgpu_failed`). With
+        cfg.fail_soft=True, errors set `self.failed` / `self.last_error`
+        and an empty result is returned; otherwise they raise.
         """
+        self.failed = False
+        self.last_error = None
+        if self.config.fail_soft:
+            try:
+                return self._run(image)
+            except Exception as e:  # noqa: BLE001 - mirrors reference
+                self.failed = True
+                self.last_error = f"{type(e).__name__}: {e}"
+                empty = {k: np.zeros((0,), np.float32)
+                         for k in ("x", "y", "sigma", "theta", "response")}
+                empty["level"] = np.zeros((0,), np.int32)
+                empty["ftype"] = np.zeros((0,), np.int32)
+                empty["desc"] = np.zeros((0, self.config.descriptor_dim),
+                                         np.float32)
+                self._last_feats = empty
+                return empty
+        return self._run(image)
+
+    def _run(self, image: Union[str, np.ndarray]) -> dict:
         with self.timer.stage("load"):
             img = load_image(image) if isinstance(image, str) else image
             img, ds = limit_working_size(img, self.config.max_dim)

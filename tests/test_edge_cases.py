@@ -114,3 +114,29 @@ def test_max_orientations_cap_enforced(gray_small):
         by_cap[cap] = feats["x"].shape[0]
     # a lower cap can only shed features
     assert by_cap[1] <= by_cap[2] <= by_cap[4]
+
+
+def test_fail_soft_sets_flag_and_returns_empty(monkeypatch):
+    """Reference failure semantics (_siftgpu_failed): with fail_soft a
+    broken run reports failed + empty features instead of raising."""
+    from hessgpu_tpu import HessianSift, SiftConfig
+    import hessgpu_tpu.detector as det
+
+    cfg = SiftConfig(fail_soft=True)
+    sift = HessianSift(cfg)
+
+    def boom(img, c):
+        raise RuntimeError("device fell over")
+
+    monkeypatch.setattr(det, "detect_and_describe", boom)
+    feats = sift.run(np.zeros((64, 64), np.float32))
+    assert sift.failed and "device fell over" in sift.last_error
+    assert feats["x"].shape == (0,) and feats["desc"].shape == (0, 128)
+    assert sift.feature_num == 0
+
+    # without fail_soft the error propagates and the flag reports it
+    sift2 = HessianSift(SiftConfig())
+    monkeypatch.setattr(det, "detect_and_describe", boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        sift2.run(np.zeros((64, 64), np.float32))

@@ -13,8 +13,11 @@ import pytest
 
 from hessgpu_tpu.parallel.client import RemoteSift
 
-SERVER_BIN = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "csrc", "build", "hess_server")
+# HESS_SERVER_BIN overrides the binary under test (e.g. the `make asan` /
+# `make tsan` sanitizer builds, csrc/Makefile)
+SERVER_BIN = os.environ.get("HESS_SERVER_BIN") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "csrc", "build", "hess_server")
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(SERVER_BIN),
@@ -40,7 +43,8 @@ def _cpu_env():
 
 @pytest.fixture(scope="module")
 def remote():
-    r = RemoteSift(port=_free_port(), env=_cpu_env())
+    r = RemoteSift(port=_free_port(), env=_cpu_env(),
+                   server_binary=SERVER_BIN)
     yield r
     r.close(shutdown_server=True)
 
