@@ -26,10 +26,11 @@ GLSL backend played for the reference's CUDA path).
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,58 +46,153 @@ def _window_dims(wsize: int):
     return rows, cols
 
 
+class PackedStack(NamedTuple):
+    """Pyramid grad/rot maps packed into (P, Hp, Wp) canvas planes.
+
+    Small levels shelf-pack into shared planes on the (8, 128) tile grid
+    instead of each getting an octave-0-sized plane (zero-padding 15
+    full-size planes per image cost ~0.5 ms/frame of pure HBM writes).
+    Per-level lookup tables (all indexed by the same level id the
+    keypoint tables carry) say which plane a level lives in and at which
+    tile-aligned offset."""
+    grad: jnp.ndarray      # (P[*B], Hp, Wp)
+    rot: jnp.ndarray
+    plane: jnp.ndarray     # (L[*B],) i32 plane index per level
+    row_off: jnp.ndarray   # (L[*B],) i32, multiple of 8
+    col_off: jnp.ndarray   # (L[*B],) i32, multiple of 128
+    level_h: jnp.ndarray   # (L[*B],) i32
+    level_w: jnp.ndarray
+
+
 def build_padded_stack(grads: Sequence[jnp.ndarray],
-                       rots: Sequence[jnp.ndarray], pad: int):
-    """Stack per-level maps into (L, Hp, Wp) with `pad` zeros on top/left.
+                       rots: Sequence[jnp.ndarray], pad: int) -> PackedStack:
+    """Pack per-level maps into shared canvas planes -> PackedStack.
 
-    Margins are sized so a tile-aligned window DMA for any in-image keypoint
-    stays in bounds. Returns (grad_stack, rot_stack, level_h, level_w).
+    Each level occupies a cell with `pad` zeros on the top/left and
+    margins sized so a tile-aligned window DMA for any in-image keypoint
+    stays inside the cell (extra gathered pixels are zeros or a
+    neighbouring level's data - membership masks in absolute level
+    coordinates zero their contribution either way).
 
-    Per-level maps may carry a leading batch dim (B, h, w); the result is
-    then (B * L, Hp, Wp) with plane b * L + l = image b's level l, so one
+    Per-level maps may carry a leading batch dim (B, h, w); planes are
+    then (B * P, Hp, Wp) and every lookup table is (B * L,), so one
     per-keypoint kernel launch serves a whole batch (the caller offsets
-    level_id by b * L; level_h/w are tiled to (B * L,) to match).
+    level_id by b * L).
     """
-    H = max(g.shape[-2] for g in grads)
-    W = max(g.shape[-1] for g in grads)
-    Hp = (H + 2 * pad + 24 + 7) // 8 * 8
-    Wp = (W + 2 * pad + 256 + 127) // 128 * 128
+    L = len(grads)
     batched = grads[0].ndim == 3
+    cells = []
+    for g in grads:
+        h, w = g.shape[-2], g.shape[-1]
+        ch = (h + 2 * pad + 24 + 7) // 8 * 8
+        cw = (w + 2 * pad + 256 + 127) // 128 * 128
+        cells.append((ch, cw))
+    Hp, Wp = cells[0]
 
-    def place(a):
-        padspec = ((0, 0),) * (a.ndim - 2) + (
-            (pad, Hp - a.shape[-2] - pad), (pad, Wp - a.shape[-1] - pad))
-        return jnp.pad(a, padspec)
+    # shelf packing: full-height cells get their own plane; smaller cells
+    # fill shared planes left-to-right, top-to-bottom
+    plane_of = [0] * L
+    roff = [0] * L
+    coff = [0] * L
+    plane_shelves = []   # per plane: list of shelves [(y, [level indices])]
+    cur = None           # (plane_idx, next_y, next_x, shelf_h)
+    for i, (ch, cw) in enumerate(cells):
+        if ch >= Hp and cw >= Wp:
+            plane_shelves.append([(0, [i])])
+            plane_of[i] = len(plane_shelves) - 1
+            continue
+        if cur is not None:
+            pi, ny, nx, sh = cur
+            if nx + cw > Wp:                      # new shelf
+                ny, nx, sh = ny + sh, 0, 0
+            if ny + ch > Hp:                      # plane full
+                cur = None
+        if cur is None:
+            plane_shelves.append([])
+            cur = (len(plane_shelves) - 1, 0, 0, 0)
+            pi, ny, nx, sh = cur
+            if nx + cw > Wp or ny + ch > Hp:
+                raise ValueError("cell larger than plane")
+        if nx == 0:
+            plane_shelves[pi].append((ny, []))
+        plane_shelves[pi][-1][1].append(i)
+        plane_of[i], roff[i], coff[i] = pi, ny, nx
+        cur = (pi, ny, nx + cw, max(sh, ch))
 
-    # pad+stack in one shot (sequential dynamic_update_slice into a big
-    # buffer costs a full-buffer copy per level on TPU)
-    gs = jnp.stack([place(g) for g in grads], axis=-3)
-    rs = jnp.stack([place(r) for r in rots], axis=-3)
-    level_h = jnp.asarray([g.shape[-2] for g in grads], jnp.int32)
-    level_w = jnp.asarray([g.shape[-1] for g in grads], jnp.int32)
+    P = len(plane_shelves)
+
+    def build(levels):
+        planes = []
+        for shelves in plane_shelves:
+            rows = []
+            used_h = 0
+            for (y, idxs) in shelves:
+                sh = max(cells[i][0] for i in idxs)
+                row_cells = []
+                used_w = 0
+                for i in idxs:
+                    a = levels[i]
+                    h, w = a.shape[-2], a.shape[-1]
+                    ch, cw = cells[i]
+                    spec = ((0, 0),) * (a.ndim - 2) + (
+                        (pad, sh - h - pad), (pad, cw - w - pad))
+                    row_cells.append(jnp.pad(a, spec))
+                    used_w += cw
+                row = row_cells[0] if len(row_cells) == 1 else \
+                    jnp.concatenate(row_cells, axis=-1)
+                if used_w < Wp:
+                    spec = ((0, 0),) * (row.ndim - 2) + ((0, 0),
+                                                         (0, Wp - used_w))
+                    row = jnp.pad(row, spec)
+                rows.append(row)
+                used_h += sh
+            plane = rows[0] if len(rows) == 1 else \
+                jnp.concatenate(rows, axis=-2)
+            if used_h < Hp:
+                spec = ((0, 0),) * (plane.ndim - 2) + ((0, Hp - used_h),
+                                                       (0, 0))
+                plane = jnp.pad(plane, spec)
+            planes.append(plane)
+        return jnp.stack(planes, axis=-3)
+
+    gs = build(grads)
+    rs = build(rots)
+    plane_a = np.asarray(plane_of, np.int32)
+    roff_a = np.asarray(roff, np.int32)
+    coff_a = np.asarray(coff, np.int32)
+    lh = np.asarray([g.shape[-2] for g in grads], np.int32)
+    lw = np.asarray([g.shape[-1] for g in grads], np.int32)
     if batched:
         B = grads[0].shape[0]
         gs = gs.reshape(-1, Hp, Wp)
         rs = rs.reshape(-1, Hp, Wp)
-        level_h = jnp.tile(level_h, B)
-        level_w = jnp.tile(level_w, B)
-    return gs, rs, level_h, level_w
+        plane_a = (np.tile(plane_a, B)
+                   + np.repeat(np.arange(B, dtype=np.int32) * P, L))
+        roff_a = np.tile(roff_a, B)
+        coff_a = np.tile(coff_a, B)
+        lh = np.tile(lh, B)
+        lw = np.tile(lw, B)
+    return PackedStack(gs, rs, jnp.asarray(plane_a), jnp.asarray(roff_a),
+                       jnp.asarray(coff_a), jnp.asarray(lh),
+                       jnp.asarray(lw))
 
 
-def _aligned_origin(ky, kx, r, pad):
+def _aligned_origin(ky, kx, r, pad, roff=0, coff=0):
     """Tile-aligned DMA origin for a window of radius r around (ky, kx).
 
-    Returns (row_start, col_start) into the padded stack and the absolute
-    level coordinates (y0f, x0f) of the scratch's [0, 0] element.
+    roff/coff: the level's cell origin inside its canvas plane (multiples
+    of (8, 128), see PackedStack). Returns (row_start, col_start) into the
+    plane and the absolute level coordinates (y0f, x0f) of the scratch's
+    [0, 0] element.
     """
     y0 = jnp.floor(ky).astype(jnp.int32) - r
     x0 = jnp.floor(kx).astype(jnp.int32) - r
-    srow = y0 + pad
-    scol = x0 + pad
+    srow = y0 + pad + roff
+    scol = x0 + pad + coff
     srow_a = pl.multiple_of(srow - jnp.remainder(srow, 8), 8)
     scol_a = pl.multiple_of(scol - jnp.remainder(scol, 128), 128)
-    y0f = (srow_a - pad).astype(jnp.float32)
-    x0f = (scol_a - pad).astype(jnp.float32)
+    y0f = (srow_a - pad - roff).astype(jnp.float32)
+    x0f = (scol_a - pad - coff).astype(jnp.float32)
     return srow_a, scol_a, y0f, x0f
 
 
@@ -172,14 +268,14 @@ def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin):
 
 def descriptor_pallas(
     x, y, sigma, theta, valid, level_id,
-    grad_stack, rot_stack, level_h, level_w,
+    stack: PackedStack,
     wsize: int, pad: int,
     window_factor: float = 3.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Raw (unnormalized) descriptors for the global keypoint table.
 
-    grad_stack/rot_stack: (L, Hp, Wp) padded pyramid (build_padded_stack).
+    stack: packed pyramid canvas (build_padded_stack).
     Returns (G, 128) float32 (caller applies half-SIFT fold + normalize).
     """
     G0 = x.shape[0]
@@ -196,19 +292,21 @@ def descriptor_pallas(
     rows, cols = _window_dims(wsize)
     r = (wsize - 1) // 2
 
-    def kernel(xs, ys, sigs, ths, lvls, valids, lh, lw,
+    def kernel(xs, ys, sigs, ths, lvls, valids, lh, lw, pln, roff, coff,
                grad_hbm, rot_hbm, out_ref, gwin, rwin, sems):
         kb = pl.program_id(0)
 
         def copies(i, k):
-            srow, scol, _, _ = _aligned_origin(ys[k], xs[k], r, pad)
             lvl = lvls[k]
+            srow, scol, _, _ = _aligned_origin(ys[k], xs[k], r, pad,
+                                               roff[lvl], coff[lvl])
+            pi = pln[lvl]
             return (
                 pltpu.make_async_copy(
-                    grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                    grad_hbm.at[pi, pl.ds(srow, rows), pl.ds(scol, cols)],
                     gwin.at[i], sems.at[i, 0]),
                 pltpu.make_async_copy(
-                    rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                    rot_hbm.at[pi, pl.ds(srow, rows), pl.ds(scol, cols)],
                     rwin.at[i], sems.at[i, 1]),
             )
 
@@ -236,7 +334,8 @@ def descriptor_pallas(
                 sig = sigs[k]
                 th = ths[k]
                 lvl = lvls[k]
-                _, _, y0f, x0f = _aligned_origin(ky, kx, r, pad)
+                _, _, y0f, x0f = _aligned_origin(ky, kx, r, pad,
+                                                 roff[lvl], coff[lvl])
 
                 cp_g, cp_r = copies(i, k)
                 cp_g.wait()
@@ -254,7 +353,7 @@ def descriptor_pallas(
                 out_ref[i:i + 1, :] = jnp.zeros((1, 128), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=11,
         grid=(G // BK,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # grad stack (HBM)
@@ -275,7 +374,8 @@ def descriptor_pallas(
         out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
         interpret=interpret,
     )(x, y, sigma, theta, level_id.astype(jnp.int32),
-      valid.astype(jnp.int32), level_h, level_w, grad_stack, rot_stack)
+      valid.astype(jnp.int32), stack.level_h, stack.level_w,
+      stack.plane, stack.row_off, stack.col_off, stack.grad, stack.rot)
     return out[:G0]
 
 
@@ -285,7 +385,7 @@ def descriptor_pallas(
 
 def orientation_pallas(
     x, y, sigma, valid, level_id,
-    grad_stack, rot_stack, level_h, level_w,
+    stack: PackedStack,
     wsize: int, pad: int,
     gaussian_factor: float = 1.5,
     window_factor: float = 2.0,
@@ -313,20 +413,23 @@ def orientation_pallas(
     rows, cols = _window_dims(wsize)
     r = (wsize - 1) // 2
 
-    def _window_copies(i, k, xs, ys, lvls, grad_hbm, rot_hbm, gwin, rwin,
-                       sems):
-        srow, scol, _, _ = _aligned_origin(ys[k], xs[k], r, pad)
+    def _window_copies(i, k, xs, ys, lvls, pln, roff, coff,
+                       grad_hbm, rot_hbm, gwin, rwin, sems):
         lvl = lvls[k]
+        srow, scol, _, _ = _aligned_origin(ys[k], xs[k], r, pad,
+                                           roff[lvl], coff[lvl])
+        pi = pln[lvl]
         return (
             pltpu.make_async_copy(
-                grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                grad_hbm.at[pi, pl.ds(srow, rows), pl.ds(scol, cols)],
                 gwin.at[i], sems.at[i, 0]),
             pltpu.make_async_copy(
-                rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                rot_hbm.at[pi, pl.ds(srow, rows), pl.ds(scol, cols)],
                 rwin.at[i], sems.at[i, 1]),
         )
 
     def _one_keypoint(k, i, xs, ys, sigs, lvls, valids, lh, lw,
+                      pln, roff, coff,
                       grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
         is_valid = valids[k] != 0
 
@@ -336,10 +439,11 @@ def orientation_pallas(
             ky = ys[k]
             sig = sigs[k]
             lvl = lvls[k]
-            _, _, y0f, x0f = _aligned_origin(ky, kx, r, pad)
+            _, _, y0f, x0f = _aligned_origin(ky, kx, r, pad,
+                                             roff[lvl], coff[lvl])
 
-            cp_g, cp_r = _window_copies(i, k, xs, ys, lvls, grad_hbm,
-                                        rot_hbm, gwin, rwin, sems)
+            cp_g, cp_r = _window_copies(i, k, xs, ys, lvls, pln, roff, coff,
+                                        grad_hbm, rot_hbm, gwin, rwin, sems)
             cp_g.wait()
             cp_r.wait()
 
@@ -463,7 +567,7 @@ def orientation_pallas(
             th_ref[i:i + 1, :] = jnp.zeros((1, 4), jnp.float32)
             ov_ref[i:i + 1, :] = jnp.zeros((1, 4), jnp.int32)
 
-    def kernel(xs, ys, sigs, lvls, valids, lh, lw,
+    def kernel(xs, ys, sigs, lvls, valids, lh, lw, pln, roff, coff,
                grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
         kb = pl.program_id(0)
         # prefetch every slot's windows before any compute (overlaps the
@@ -473,18 +577,20 @@ def orientation_pallas(
 
             @pl.when(valids[k] != 0)
             def _(i=i, k=k):
-                cp_g, cp_r = _window_copies(i, k, xs, ys, lvls, grad_hbm,
-                                            rot_hbm, gwin, rwin, sems)
+                cp_g, cp_r = _window_copies(i, k, xs, ys, lvls, pln, roff,
+                                            coff, grad_hbm, rot_hbm, gwin,
+                                            rwin, sems)
                 cp_g.start()
                 cp_r.start()
 
         for i in range(BK):
             _one_keypoint(kb * BK + i, i, xs, ys, sigs, lvls, valids, lh, lw,
+                          pln, roff, coff,
                           grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin,
                           sems)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=10,
         grid=(G // BK,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -510,7 +616,8 @@ def orientation_pallas(
                    jax.ShapeDtypeStruct((G, 4), jnp.int32)),
         interpret=interpret,
     )(x, y, sigma, level_id.astype(jnp.int32), valid.astype(jnp.int32),
-      level_h, level_w, grad_stack, rot_stack)
+      stack.level_h, stack.level_w, stack.plane, stack.row_off,
+      stack.col_off, stack.grad, stack.rot)
     thetas = thetas[:G0]
     ovalid = ovalid[:G0]
     return thetas, ovalid.astype(jnp.bool_) & valid[:G0, None]
@@ -522,7 +629,7 @@ def orientation_pallas(
 
 def orient_describe_pallas(
     x, y, sigma, valid, level_id,
-    grad_stack, rot_stack, level_h, level_w,
+    stack: PackedStack,
     owin: int, dwin: int, pad: int,
     gaussian_factor: float = 1.5,
     orientation_window_factor: float = 2.0,
@@ -649,7 +756,7 @@ def orient_describe_pallas(
                 out.append((jnp.where(ok, q * (TWO_PI / 255.0), 0.0), ok))
         return out
 
-    def kernel(xs, ys, sigs, lvls, valids, lh, lw,
+    def kernel(xs, ys, sigs, lvls, valids, lh, lw, pln, roff, coff,
                grad_hbm, rot_hbm, th_ref, ov_ref, d_ref, gwin, rwin, sems):
         kb = pl.program_id(0)
         lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
@@ -663,13 +770,15 @@ def orient_describe_pallas(
                 ky = ys[k]
                 sig = sigs[k]
                 lvl = lvls[k]
-                srow, scol, y0f, x0f = _aligned_origin(ky, kx, r, pad)
+                srow, scol, y0f, x0f = _aligned_origin(ky, kx, r, pad,
+                                                       roff[lvl], coff[lvl])
+                pi = pln[lvl]
 
                 cp_g = pltpu.make_async_copy(
-                    grad_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                    grad_hbm.at[pi, pl.ds(srow, rows), pl.ds(scol, cols)],
                     gwin, sems.at[0])
                 cp_r = pltpu.make_async_copy(
-                    rot_hbm.at[lvl, pl.ds(srow, rows), pl.ds(scol, cols)],
+                    rot_hbm.at[pi, pl.ds(srow, rows), pl.ds(scol, cols)],
                     rwin, sems.at[1])
                 cp_g.start()
                 cp_r.start()
@@ -712,7 +821,7 @@ def orient_describe_pallas(
                 d_ref[i:i + 1, :] = jnp.zeros((1, 4 * 128), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=10,
         grid=(G // BK,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -741,7 +850,8 @@ def orient_describe_pallas(
                    jax.ShapeDtypeStruct((G, 4 * 128), jnp.float32)),
         interpret=interpret,
     )(x, y, sigma, level_id.astype(jnp.int32), valid.astype(jnp.int32),
-      level_h, level_w, grad_stack, rot_stack)
+      stack.level_h, stack.level_w, stack.plane, stack.row_off,
+      stack.col_off, stack.grad, stack.rot)
     thetas = thetas[:G0]
     ovalid = ovalid[:G0].astype(jnp.bool_) & valid[:G0, None]
     desc = desc[:G0].reshape(G0, 4, 128)

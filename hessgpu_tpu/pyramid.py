@@ -356,7 +356,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                                        orientation_pallas)
         pad = (max(owin, dwin) - 1) // 2 + 2
         with jax.named_scope("COMPUTE_ORIENTATIONS"):
-            g_stack, r_stack, plh, plw = build_padded_stack(grads, rots, pad)
+            pstack = build_padded_stack(grads, rots, pad)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 
@@ -376,7 +376,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
 
         o_thetas, o_valid, desc4 = orient_describe_pallas(
             table.x, table.y, table.sigma, table.valid, table.level_id,
-            g_stack, r_stack, plh, plw,
+            pstack,
             owin=owin, dwin=dwin, pad=pad,
             gaussian_factor=cfg.orientation_gaussian_factor,
             orientation_window_factor=cfg.orientation_window_factor,
@@ -417,7 +417,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                 if use_pallas:
                     o_thetas, o_valid = orientation_pallas(
                         table.x, table.y, table.sigma, table.valid,
-                        table.level_id, g_stack, r_stack, plh, plw,
+                        table.level_id, pstack,
                         wsize=owin, pad=pad,
                         gaussian_factor=cfg.orientation_gaussian_factor,
                         window_factor=cfg.orientation_window_factor,
@@ -466,7 +466,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                 from .ops.descriptor import normalize_descriptors
                 desc = descriptor_pallas(
                     table.x, table.y, table.sigma, table.theta, table.valid,
-                    table.level_id, g_stack, r_stack, plh, plw,
+                    table.level_id, pstack,
                     wsize=dwin, pad=pad,
                     window_factor=cfg.descriptor_window_factor,
                     interpret=interpret)
@@ -610,7 +610,7 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     L_tot = len(grads)
     pad = (max(owin, dwin) - 1) // 2 + 2
     with jax.named_scope("COMPUTE_ORIENTATIONS"):
-        g_stack, r_stack, plh, plw = build_padded_stack(grads, rots, pad)
+        pstack = build_padded_stack(grads, rots, pad)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 
@@ -644,8 +644,7 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
         with jax.named_scope("COMPUTE_ORIENTATIONS"):
             o_thetas, o_valid = chunked(
                 lambda x, y, sg, vl, lid: orientation_pallas(
-                    x, y, sg, vl, lid,
-                    g_stack, r_stack, plh, plw,
+                    x, y, sg, vl, lid, pstack,
                     wsize=owin, pad=pad,
                     gaussian_factor=cfg.orientation_gaussian_factor,
                     window_factor=cfg.orientation_window_factor,
@@ -685,8 +684,7 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
             fvalid = flat(table.valid)
             desc = chunked(
                 lambda x, y, sg, th, vl, lid: descriptor_pallas(
-                    x, y, sg, th, vl, lid,
-                    g_stack, r_stack, plh, plw,
+                    x, y, sg, th, vl, lid, pstack,
                     wsize=dwin, pad=pad,
                     window_factor=cfg.descriptor_window_factor,
                     interpret=interpret),

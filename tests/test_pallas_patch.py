@@ -35,11 +35,11 @@ def test_descriptor_pallas_matches_reference(scene):
     grads, rots, kx, ky, ks, kt, lid, valid = scene
     wsize = descriptor_window_size(float(ks.max()))
     pad = (wsize - 1) // 2 + 1
-    gs, rs, lh, lw = build_padded_stack(grads, rots, pad)
+    ps = build_padded_stack(grads, rots, pad)
 
     got = np.asarray(descriptor_pallas(
         jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks), jnp.asarray(kt),
-        jnp.asarray(valid), jnp.asarray(lid), gs, rs, lh, lw,
+        jnp.asarray(valid), jnp.asarray(lid), ps,
         wsize=wsize, pad=pad, interpret=True))
 
     # reference: per-level jnp implementation
@@ -60,12 +60,12 @@ def test_orientation_pallas_matches_reference(scene):
     grads, rots, kx, ky, ks, kt, lid, valid = scene
     wsize = 2 * int(np.ceil(ks.max() * 1.5 * 2.0 + 1)) + 1
     pad = (wsize - 1) // 2 + 1
-    gs, rs, lh, lw = build_padded_stack(grads, rots, pad)
+    ps = build_padded_stack(grads, rots, pad)
 
     for cap in (2, 4):  # -m cap must agree between jnp and Pallas paths
         thetas, ovalid = orientation_pallas(
             jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-            jnp.asarray(valid), jnp.asarray(lid), gs, rs, lh, lw,
+            jnp.asarray(valid), jnp.asarray(lid), ps,
             wsize=wsize, pad=pad, max_peaks=cap, interpret=True)
         thetas, ovalid = np.asarray(thetas), np.asarray(ovalid)
 
@@ -92,10 +92,10 @@ def test_orientation_pallas_single_mode(scene):
     grads, rots, kx, ky, ks, kt, lid, valid = scene
     wsize = 2 * int(np.ceil(ks.max() * 1.5 * 2.0 + 1)) + 1
     pad = (wsize - 1) // 2 + 1
-    gs, rs, lh, lw = build_padded_stack(grads, rots, pad)
+    ps = build_padded_stack(grads, rots, pad)
     thetas, ovalid = orientation_pallas(
         jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-        jnp.asarray(valid), jnp.asarray(lid), gs, rs, lh, lw,
+        jnp.asarray(valid), jnp.asarray(lid), ps,
         wsize=wsize, pad=pad, single=True, interpret=True)
     thetas, ovalid = np.asarray(thetas), np.asarray(ovalid)
     for i in range(len(kx)):
@@ -116,16 +116,16 @@ def test_fused_orient_describe_matches_separate(scene):
     owin = 2 * int(np.ceil(ks.max() * 1.5 * 2.0 + 1)) + 1
     dwin = descriptor_window_size(float(ks.max()))
     pad = (max(owin, dwin) - 1) // 2 + 2
-    gs, rs, lh, lw = build_padded_stack(grads, rots, pad)
+    ps = build_padded_stack(grads, rots, pad)
 
     th_f, ov_f, d_f = orient_describe_pallas(
         jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-        jnp.asarray(valid), jnp.asarray(lid), gs, rs, lh, lw,
+        jnp.asarray(valid), jnp.asarray(lid), ps,
         owin=owin, dwin=dwin, pad=pad, interpret=True)
 
     th_s, ov_s = orientation_pallas(
         jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-        jnp.asarray(valid), jnp.asarray(lid), gs, rs, lh, lw,
+        jnp.asarray(valid), jnp.asarray(lid), ps,
         wsize=owin, pad=pad, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(ov_f), np.asarray(ov_s))
@@ -137,7 +137,7 @@ def test_fused_orient_describe_matches_separate(scene):
     d_sep = descriptor_pallas(
         jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
         jnp.asarray(th_s[:, 0]), jnp.asarray(valid), jnp.asarray(lid),
-        gs, rs, lh, lw, wsize=dwin, pad=pad, interpret=True)
+        ps, wsize=dwin, pad=pad, interpret=True)
     d_f = np.asarray(d_f)
     for i in range(len(kx)):
         if valid[i] and ov[i, 0]:
