@@ -134,10 +134,13 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
     (NK, ...) operands instead of NK each. The dozens of tiny per-level
     ops the split version emitted were pure dispatch overhead on TPU.
     """
-    nk = len(maps)
-    h, w = maps[0].valid.shape
+    if isinstance(maps, list):
+        # legacy per-level list -> stacked leaves (KeypointMaps itself is
+        # a NamedTuple, so only a plain list means "per level")
+        maps = jax.tree.map(lambda *xs: jnp.stack(xs), *maps)
+    valid3 = maps.valid                                  # (NK, H, W)
+    nk, h, w = valid3.shape
     n = h * w
-    valid3 = jnp.stack([m.valid for m in maps])          # (NK, H, W)
 
     kpr = min(w, _ROW_CAP)
     col = jax.lax.broadcasted_iota(jnp.int32, (nk, h, w), 2)
@@ -161,11 +164,11 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
     rows_f = jnp.arange(h, dtype=jnp.float32).reshape(1, -1, 1)
     cols_f = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, -1)
     take = lambda a: jnp.take_along_axis(a.reshape(nk, -1), src, axis=1)
-    x = take(cols_f + 0.5 + jnp.stack([m.dx for m in maps]))
-    y = take(rows_f + 0.5 + jnp.stack([m.dy for m in maps]))
-    r = take(jnp.stack([m.response for m in maps]))
-    t = take(jnp.stack([m.ftype for m in maps]))
-    ds = take(jnp.stack([m.ds for m in maps]))
+    x = take(cols_f + 0.5 + maps.dx)
+    y = take(rows_f + 0.5 + maps.dy)
+    r = take(maps.response)
+    t = take(maps.ftype)
+    ds = take(maps.ds)
     sig = jnp.asarray(sigmas, jnp.float32)[:, None] \
         * jnp.power(sigma_step, ds)
     return FeatureList(

@@ -116,13 +116,21 @@ def detect_octave_pallas(
     darkness_adaption: bool = False,
     interpret: bool = False,
 ):
-    """Fused detection for one octave.
+    """Fused detection for one octave - ONE kernel launch per octave.
 
     gauss_oct: (L, H, W) or (B, L, H, W) Gaussian stack; a leading batch
     dim rides the grid ((B, row-blocks)) so the compiled program is flat
     in B, and every output gains the same leading dim.
-    Returns (per-key-level list of KeypointMaps-like tuples, grad (L, H, W),
-    rot (L, H, W)) - gradient maps only populated on key levels.
+
+    Each program DMAs the span of Gaussian planes the key levels need
+    once (5 planes instead of 3 per level across 3 calls), computes every
+    plane's det-of-Hessian response once (shared by the adjacent key
+    levels' 3x3x3 tests), and writes all levels' outputs - which also
+    hands the compaction stage level-stacked arrays with no extra copies.
+
+    Returns (KeypointMaps with (NK, H, W) leaves - row i = key level
+    key_levels[i], grad (NK, H, W), rot (NK, H, W)); gradient maps are
+    per KEY level.
     """
     from ..keypoint import KeypointMaps
 
@@ -150,32 +158,37 @@ def detect_octave_pallas(
                 threshold=threshold, edge_threshold=edge_threshold,
                 subpixel=subpixel, hessian=True,
                 darkness_adaption=darkness_adaption) for kl in key_levels]
-            return maps, grad, rot
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *maps)
+            grad_k = jnp.stack([grad[kl] for kl in key_levels])
+            rot_k = jnp.stack([rot[kl] for kl in key_levels])
+            return stacked, grad_k, rot_k
 
         if not batched:
             return one(gauss_oct[0])
         return jax.vmap(one)(gauss_oct)
 
-    nblk = pl.cdiv(H, _BR)
-    BRH = _BR + 8           # 2-row halos each side, rounded to sublanes
+    # smaller row blocks than the per-level kernel: 8 outputs x NK levels
+    # stream per program, and double-buffered output blocks must fit VMEM
+    BRD = 32
+    nblk = pl.cdiv(H, BRD)
+    BRH = BRD + 8           # 2-row halos each side, rounded to sublanes
     Wp = (W + 2 + 2 + 127) // 128 * 128
+    p_lo = key_levels[0] - 1
+    NP = key_levels[-1] + 2 - p_lo    # planes spanned by all 3x3x3 tests
 
     # edge-pad (2 px left/top; bottom/right up to the aligned extents)
-    bot = nblk * _BR + BRH - (H + 2)
-    gp = jnp.pad(gauss_oct,
+    bot = nblk * BRD + BRH - (H + 2)
+    gp = jnp.pad(gauss_oct[:, p_lo:p_lo + NP],
                  ((0, 0), (0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
                  mode="edge")
 
-    def kernel_for(kl):
-      def kernel(g_hbm, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref,
-                 type_ref, grad_ref, rot_ref, gbuf, sem):
+    def kernel(g_hbm, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref,
+               type_ref, grad_ref, rot_ref, gbuf, sem):
         b = pl.program_id(0)
         blk = pl.program_id(1)
-        row0 = pl.multiple_of(blk * _BR, 8)
-        # only the 3 planes around the key level are needed (the gauss
-        # plane for typing IS plane kl)
+        row0 = pl.multiple_of(blk * BRD, 8)
         cp = pltpu.make_async_copy(
-            g_hbm.at[b, pl.ds(kl - 1, 3), pl.ds(row0, BRH), pl.ds(0, Wp)],
+            g_hbm.at[b, pl.ds(0, NP), pl.ds(row0, BRH), pl.ds(0, Wp)],
             gbuf, sem)
         cp.start()
         cp.wait()
@@ -183,13 +196,15 @@ def detect_octave_pallas(
         g = gbuf[:, :, :]
 
         # absolute coordinates of output row j / col c
-        rows_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (_BR, W), 0)
-        cols_idx = jax.lax.broadcasted_iota(jnp.int32, (_BR, W), 1)
+        rows_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (BRD, W), 0)
+        cols_idx = jax.lax.broadcasted_iota(jnp.int32, (BRD, W), 1)
         interior = (rows_idx > 0) & (rows_idx < H - 1) \
             & (cols_idx > 0) & (cols_idx < W - 1)
 
-        # responses: gauss buffer row t = global row row0 + t - 2.
-        def resp_at(pi, l):
+        # responses: gauss buffer row t = global row row0 + t - 2. Each
+        # plane's response is computed ONCE and shared by the adjacent key
+        # levels (the per-level kernel recomputed 9 instead of NP).
+        def resp_at(pi):
             # (BRH-2, W+2) response of plane pi: [i, c] = response at
             # global (row0 + i - 1, c - 1)
             gl = g[pi]
@@ -198,17 +213,18 @@ def detect_octave_pallas(
             lyy = gl[:-2, 1:-1] - 2.0 * c + gl[2:, 1:-1]
             lxy = (gl[:-2, 2:] - gl[:-2, :-2] + gl[2:, :-2] - gl[2:, 2:]) \
                 * 0.25
-            return (lxx * lyy - lxy * lxy) * norms[l]
+            return (lxx * lyy - lxy * lxy) * norms[p_lo + pi]
+
+        resps = [resp_at(i) for i in range(NP)]
 
         def crop(a, di, dj):
             # a indexed like resp; value at (output row j + di, col cc + dj)
-            return a[1 + di: 1 + di + _BR, 1 + dj: 1 + dj + W]
+            return a[1 + di: 1 + di + BRD, 1 + dj: 1 + dj + W]
 
-        if True:
-            oi = 0
-            prv = resp_at(0, kl - 1)
-            cur = resp_at(1, kl)
-            nxt = resp_at(2, kl + 1)
+        for li, kl in enumerate(key_levels):
+            prv = resps[kl - 1 - p_lo]
+            cur = resps[kl - p_lo]
+            nxt = resps[kl + 1 - p_lo]
 
             v = crop(cur, 0, 0)
             left = crop(cur, 0, -1)
@@ -237,8 +253,9 @@ def detect_octave_pallas(
             is_max = (v > lr_max) & (v >= rest_max) & (v >= 0)
             is_min = (v < lr_min) & (v <= rest_min) & (v <= 0)
 
+            gl = g[kl - p_lo]  # the key level's Gaussian plane
             if darkness_adaption:
-                gc = g[1][2:2 + _BR, 2:2 + W]
+                gc = gl[2:2 + BRD, 2:2 + W]
                 thr_map = threshold * jnp.minimum(2.0 * gc + 0.1, 1.0)
             else:
                 thr_map = threshold
@@ -284,10 +301,9 @@ def detect_octave_pallas(
 
             valid = extremum & interior
 
-            gl = g[1]  # the key level's Gaussian plane (middle of the 3)
-            gc = gl[2:2 + _BR, 2:2 + W]
-            gleft = gl[2:2 + _BR, 1:1 + W]
-            gright = gl[2:2 + _BR, 3:3 + W]
+            gc = gl[2:2 + BRD, 2:2 + W]
+            gleft = gl[2:2 + BRD, 1:1 + W]
+            gright = gl[2:2 + BRD, 3:3 + W]
             g_lxx = gleft - 2.0 * gc + gright
             # int32 constants: weak-typed literals make i8 selects, which
             # Mosaic cannot truncate masks for
@@ -298,60 +314,48 @@ def detect_octave_pallas(
 
             # (fp16 response quantization happens outside the kernel -
             # Mosaic has no f32->f16 truncation)
-            valid_ref[0, :, :] = valid.astype(jnp.int32)
-            resp_ref[0, :, :] = jnp.where(valid, response, 0.0)
-            dx_ref[0, :, :] = dx
-            dy_ref[0, :, :] = dy
-            ds_ref[0, :, :] = dssub
-            type_ref[0, :, :] = ftype
+            valid_ref[0, li, :, :] = valid.astype(jnp.int32)
+            resp_ref[0, li, :, :] = jnp.where(valid, response, 0.0)
+            dx_ref[0, li, :, :] = dx
+            dy_ref[0, li, :, :] = dy
+            ds_ref[0, li, :, :] = dssub
+            type_ref[0, li, :, :] = ftype
 
             # gradient/rotation of the Gaussian at this key level
-            gup = gl[1:1 + _BR, 2:2 + W]
-            gdown = gl[3:3 + _BR, 2:2 + W]
+            gup = gl[1:1 + BRD, 2:2 + W]
+            gdown = gl[3:3 + BRD, 2:2 + W]
             dxg = gright - gleft
             dyg = gdown - gup
             mag = 0.5 * jnp.sqrt(dxg * dxg + dyg * dyg)
-            grad_ref[0, :, :] = mag
-            rot_ref[0, :, :] = jnp.where(mag == 0.0, 0.0, _atan2(dyg, dxg))
+            grad_ref[0, li, :, :] = mag
+            rot_ref[0, li, :, :] = jnp.where(mag == 0.0, 0.0,
+                                             _atan2(dyg, dxg))
 
         _ = sem  # silence unused in interpret mode
-      return kernel
 
-    # one pallas_call per key level: 8 full-size outputs per call stay
-    # within XLA's scoped-VMEM budget (a 3-level batched variant OOMs)
-    blockspec = pl.BlockSpec((1, _BR, W), lambda b, i: (b, i, 0),
+    blockspec = pl.BlockSpec((1, NK, BRD, W), lambda b, i: (b, 0, i, 0),
                              memory_space=pltpu.VMEM)
-    maps = []
-    zeros = jnp.zeros((B, H, W), jnp.float32)
-    grad_full = [zeros] * L
-    rot_full = [zeros] * L
-    for kl in key_levels:
-        outs = pl.pallas_call(
-            kernel_for(kl),
-            grid=(B, nblk),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct((B, H, W), dt) for dt in
-                (jnp.int32, jnp.float32, jnp.float32, jnp.float32,
-                 jnp.float32, jnp.int32, jnp.float32, jnp.float32)),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=tuple(blockspec for _ in range(8)),
-            scratch_shapes=[
-                pltpu.VMEM((3, BRH, Wp), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            interpret=interpret,
-        )(gp)
-        validk, respk, dxk, dyk, dsk, typek, gradk, rotk = outs
-        # reference stores responses as packed half floats (ProgramCU.cu:865)
-        respk = respk.astype(jnp.float16).astype(jnp.float32)
-        maps.append(KeypointMaps(
-            valid=validk.astype(jnp.bool_), response=respk,
-            dx=dxk, dy=dyk, ds=dsk, ftype=typek))
-        grad_full[kl] = gradk
-        rot_full[kl] = rotk
-    grad = jnp.stack(grad_full, axis=1)
-    rot = jnp.stack(rot_full, axis=1)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, NK, H, W), dt) for dt in
+            (jnp.int32, jnp.float32, jnp.float32, jnp.float32,
+             jnp.float32, jnp.int32, jnp.float32, jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(blockspec for _ in range(8)),
+        scratch_shapes=[
+            pltpu.VMEM((NP, BRH, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(gp)
+    validk, respk, dxk, dyk, dsk, typek, gradk, rotk = outs
+    # reference stores responses as packed half floats (ProgramCU.cu:865)
+    respk = respk.astype(jnp.float16).astype(jnp.float32)
+    maps = KeypointMaps(valid=validk.astype(jnp.bool_), response=respk,
+                        dx=dxk, dy=dyk, ds=dsk, ftype=typek)
     if not batched:
-        return ([m._replace(**{f: getattr(m, f)[0] for f in m._fields})
-                 for m in maps], grad[0], rot[0])
-    return maps, grad, rot
+        maps = KeypointMaps(*(a[0] for a in maps))
+        return maps, gradk[0], rotk[0]
+    return maps, gradk, rotk

@@ -137,7 +137,11 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
 
 def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
                    cfg: SiftConfig):
-    """Response + gradients + per-level keypoint maps for one octave."""
+    """Response + gradients + keypoint maps for one octave.
+
+    Returns (maps, grad_k, rot_k): maps is a KeypointMaps with leaves
+    stacked over key levels ((NK, H, W) - row i = key level
+    p.key_levels[i]), grad_k/rot_k are the per-KEY-level gradient maps."""
     p = cfg.scale_params()
     if cfg.detector == "hessian":
         # Per-level norm = sigma^4, same across octaves (the reference's
@@ -145,12 +149,11 @@ def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
         norms = [(p.level_sigma(l) ** 4) for l in range(p.level_min, p.level_max + 1)]
         if cfg.use_pallas and jax.default_backend() != "cpu":
             from .ops.pallas.detect import detect_octave_pallas
-            maps, grad, rot = detect_octave_pallas(
+            return detect_octave_pallas(
                 gauss_oct, norms, p.key_levels,
                 threshold=p.threshold, edge_threshold=p.edge_threshold,
                 subpixel=cfg.subpixel,
                 darkness_adaption=cfg.darkness_adaption)
-            return maps, grad, rot
         resp, grad, rot = hessian.hessian_response_and_gradient(
             gauss_oct, norms, grad_levels=p.key_levels)
     else:
@@ -170,7 +173,10 @@ def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
         # level i+1; re-align so grad[kl] is the keypoint level's gradient
         grad = jnp.concatenate([grad[:1], grad], axis=0)
         rot = jnp.concatenate([rot[:1], rot], axis=0)
-    return maps, grad, rot
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *maps)
+    grad_k = jnp.stack([grad[kl] for kl in p.key_levels])
+    rot_k = jnp.stack([rot[kl] for kl in p.key_levels])
+    return stacked, grad_k, rot_k
 
 
 class GlobalTable(NamedTuple):
@@ -297,9 +303,9 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
             # one blocked list per octave ((NK, cap) leaves)
             all_lists.append(compact_octave_keypoints(
                 maps, sigmas, sigma_step, plan.level_caps[idx]))
-        for kl in p.key_levels:
-            grads.append(grad[kl])
-            rots.append(rot[kl])
+        for li in range(len(p.key_levels)):
+            grads.append(grad[li])
+            rots.append(rot[li])
             idx += 1
 
     # ---- global table + flattened pyramid buffers -----------------------------
@@ -572,9 +578,9 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
             # one blocked list per octave ((B, NK, cap) leaves)
             all_lists.append(jax.vmap(lambda ms: compact_octave_keypoints(
                 ms, sigmas, sigma_step, cap))(maps))
-        for kl in p.key_levels:
-            grads.append(grad[:, kl])
-            rots.append(rot[:, kl])
+        for li in range(len(p.key_levels)):
+            grads.append(grad[:, li])
+            rots.append(rot[:, li])
             idx += 1
 
     with jax.named_scope("GENERATE_FEATURE_LIST"):

@@ -126,7 +126,7 @@ def dump_views(image: np.ndarray, cfg=None, out_dir: str = "views") -> None:
         for li, kl in enumerate(p.key_levels):
             # reference DisplayConvertGRD mapping (ProgramCU.cu:3138-3150)
             _save_gray(os.path.join(out_dir, f"4_grad_o{o}_l{kl}.png"),
-                       colorize_gradient(np.asarray(grad[kl])),
+                       colorize_gradient(np.asarray(grad[li])),
                        normalize=False)
         # response maps via the hessian op
         from ..ops import hessian as hops
@@ -141,8 +141,8 @@ def dump_views(image: np.ndarray, cfg=None, out_dir: str = "views") -> None:
             # colorized keypoint map (DisplayConvertKEY,
             # ProgramCU.cu:3169-3230): typed detections over the response
             km = colorize_keymap(np.asarray(resp[kl]),
-                                 np.asarray(maps[li].valid),
-                                 np.asarray(maps[li].ftype))
+                                 np.asarray(maps.valid[li]),
+                                 np.asarray(maps.ftype[li]))
             from PIL import Image
             Image.fromarray((np.clip(km, 0, 1) * 255).astype(np.uint8)).save(
                 os.path.join(out_dir, f"5_key_o{o}_l{kl}.png"))

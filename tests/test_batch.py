@@ -84,13 +84,12 @@ def test_batched_pallas_kernels_equal_single(gray_small):
                                 [1, 2, 3], **kw)
     total = 0
     for i in range(2):
-        for li in range(3):
-            for f in single[i][0][li]._fields:
-                np.testing.assert_array_equal(
-                    np.asarray(getattr(both[0][li], f)[i]),
-                    np.asarray(getattr(single[i][0][li], f)),
-                    err_msg=f"map field {f}")
-            total += int(np.asarray(both[0][li].valid[i]).sum())
+        for f in single[i][0]._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(both[0], f)[i]),
+                np.asarray(getattr(single[i][0], f)),
+                err_msg=f"map field {f}")
+        total += int(np.asarray(both[0].valid[i]).sum())
         np.testing.assert_array_equal(np.asarray(both[1][i]),
                                       np.asarray(single[i][1]))
         np.testing.assert_array_equal(np.asarray(both[2][i]),

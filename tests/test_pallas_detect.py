@@ -30,12 +30,13 @@ def test_fused_detect_matches_reference(octave, subpixel):
 
     resp, grad, rot = hessian_response_and_gradient(
         gauss, norms, grad_levels=p.key_levels)
+    import jax
     for i, kl in enumerate(p.key_levels):
         want = detect_keypoints_level(
             resp[kl - 1], resp[kl], resp[kl + 1], gauss[kl],
             threshold=p.threshold, edge_threshold=p.edge_threshold,
             subpixel=subpixel, hessian=True)
-        got = maps_p[i]
+        got = jax.tree.map(lambda a: a[i], maps_p)
         np.testing.assert_array_equal(np.asarray(got.valid),
                                       np.asarray(want.valid),
                                       err_msg=f"level {kl}")
@@ -48,7 +49,7 @@ def test_fused_detect_matches_reference(octave, subpixel):
                                    np.asarray(want.ds)[v], atol=1e-4)
         np.testing.assert_array_equal(np.asarray(got.ftype)[v],
                                       np.asarray(want.ftype)[v])
-        np.testing.assert_allclose(np.asarray(grad_p[kl]),
+        np.testing.assert_allclose(np.asarray(grad_p[i]),
                                    np.asarray(grad[kl]), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(rot_p[kl]),
+        np.testing.assert_allclose(np.asarray(rot_p[i]),
                                    np.asarray(rot[kl]), atol=1e-5)

@@ -97,7 +97,8 @@ def test_sharded_detect_matches_pipeline_one_octave(mesh, rng):
     maps, _, _ = _detect_octave(oct0, plan, cfg)
     rows = []
     for li, kl in enumerate(p.key_levels):
-        fl = compact_level_keypoints(maps[li], p.key_level_sigma(kl),
+        maps_li = jax.tree.map(lambda a: a[li], maps)
+        fl = compact_level_keypoints(maps_li, p.key_level_sigma(kl),
                                      p.sigmak, plan.level_caps[li])
         v = np.asarray(fl.valid)
         rows.append(np.stack([
