@@ -3,14 +3,28 @@
 TPU-native replacement for the reference's atomic list generation
 (GFL_*/ListGen_Kernel, ProgramCU.cu:922-1217): a dense boolean keypoint map
 is compacted into a fixed-capacity list of coordinates. Where CUDA uses warp
-ballots + atomicAdd (nondeterministic block order), we use an exclusive
-prefix-sum scatter - deterministic raster order, identical membership.
+ballots + atomicAdd (nondeterministic block order), we use sorted-key
+selection - deterministic raster order, identical membership.
 
 Capacity policy mirrors the reference: per-level cap
 min(0.5% of pixels, 4096) (PyramidCU.cpp:443-451, GlobalUtil.cpp:67-68);
 overflowing keypoints are dropped in raster order (the reference drops by
 atomic arrival order instead - membership may differ only when a level
 overflows its cap).
+
+Perf notes (TPU):
+  * cumsum+scatter lowers to a serial per-update loop (~1.4 ms per 640x480
+    level) - never used;
+  * lax.top_k lowers to a stable TWO-operand sort (keys + iota payload);
+    since our keys already encode the position, a single-operand unstable
+    lax.sort moves half the data for the same selection;
+  * XLA gathers run on the scalar core (~12 ns/element), so the payload
+    pickup packs {dx, dy} and {response, ds} into one int32 each (s16
+    fixed point / f16 bits) and rides ftype in the sort key's low bits -
+    two gathers + free type bits instead of five gathers. Valid keypoints
+    guarantee |dx|,|dy|,|ds| < 1 (ops/keypoint.py offset test) and the
+    response is already fp16-quantized (ProgramCU.cu:865 parity), so the
+    f16 response bits are lossless and the s16 offsets keep ~6e-5 px.
 """
 
 from __future__ import annotations
@@ -25,6 +39,8 @@ import jax.numpy as jnp
 # 3x3 NMS spaces detections >= 2 px apart, so > 64 detections in a single
 # pixel row of one level is far past saturation.
 _ROW_CAP = 64
+
+_Q = 16384.0   # s16 fixed-point scale for subpixel offsets in (-1, 1)
 
 
 class FeatureList(NamedTuple):
@@ -49,43 +65,40 @@ class FeatureList(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
 
 
-def _dense_compact_indices(valid2d: jnp.ndarray, capacity: int):
-    """Raster-order compaction of a dense (H, W) mask without a scatter.
+def _first_k_ascending(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Smallest k keys of the last axis, ascending (single-operand sort)."""
+    return jax.lax.sort(keys, dimension=keys.ndim - 1,
+                        is_stable=False)[..., :k]
 
-    XLA lowers the straightforward cumsum+scatter to a serial per-update
-    loop on TPU (~1.4 ms per 640x480 level map - it dominated the whole
-    pipeline); two batched top_k passes keep everything on the vector
-    units:
-      1. per row, the first _ROW_CAP valid columns (keys decrease with
-         column, so top-k = leftmost);
-      2. over the (H * _ROW_CAP) candidates, the first `capacity` in
-         raster order (keys decrease with flat index).
-    Membership equals the scatter path exactly unless a single row holds
-    > _ROW_CAP detections (then overflow drops right-of-row instead of
-    end-of-raster - both beyond the reference's 0.5%-of-pixels saturation).
 
-    Returns (src flat indices (capacity,), slot_valid, count).
-    """
-    h, w = valid2d.shape
-    n = h * w
-    kpr = min(w, _ROW_CAP)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    keys = jnp.where(valid2d, w - col, 0)
-    topv, _ = jax.lax.top_k(keys, kpr)                  # (H, kpr)
-    cand_valid = topv > 0
-    cand_col = jnp.where(cand_valid, w - topv, 0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, kpr), 0)
-    flat = row * w + cand_col
+def _q14(a: jnp.ndarray) -> jnp.ndarray:
+    """f32 in (-2, 2) -> s16 fixed-point bits, in an i32."""
+    return jnp.round(a * _Q).astype(jnp.int32)
 
-    k2 = min(capacity, h * kpr)
-    keys2 = jnp.where(cand_valid, n - flat, 0).reshape(-1)
-    top2, _ = jax.lax.top_k(keys2, k2)                  # (k2,)
-    src = jnp.where(top2 > 0, n - top2, 0)
-    if k2 < capacity:
-        src = jnp.pad(src, (0, capacity - k2))
-    count = jnp.minimum(jnp.sum(cand_valid.astype(jnp.int32)), capacity)
-    slot_valid = jnp.arange(capacity) < count
-    return src, slot_valid, count
+
+def _unq14_low(p: jnp.ndarray) -> jnp.ndarray:
+    """Sign-extended low 16 bits of i32 -> f32."""
+    return ((p << 16) >> 16).astype(jnp.float32) / _Q
+
+
+def _pack_payload(maps) -> tuple:
+    """KeypointMaps -> two i32 planes: (dx|dy), (f16(response)|ds)."""
+    p1 = (_q14(maps.dx) << 16) | (_q14(maps.dy) & 0xFFFF)
+    rbits = jax.lax.bitcast_convert_type(
+        maps.response.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+    p2 = (rbits << 16) | (_q14(maps.ds) & 0xFFFF)
+    return p1, p2
+
+
+def _unpack_payload(g1: jnp.ndarray, g2: jnp.ndarray):
+    """Inverse of _pack_payload on gathered slots -> (dx, dy, resp, ds)."""
+    dx = (g1 >> 16).astype(jnp.float32) / _Q
+    dy = _unq14_low(g1)
+    resp = jax.lax.bitcast_convert_type(
+        ((g2 >> 16) & 0xFFFF).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    ds = _unq14_low(g2)
+    return dx, dy, resp, ds
 
 
 def compact_mask(valid: jnp.ndarray, values: Sequence[jnp.ndarray], capacity: int):
@@ -105,18 +118,19 @@ def compact_mask(valid: jnp.ndarray, values: Sequence[jnp.ndarray], capacity: in
 def compact_indices(valid: jnp.ndarray, capacity: int):
     """First-`capacity` valid flat indices, in index order.
 
-    One lax.top_k over keys that decrease with flat index (so top-k =
-    leftmost valid): XLA lowers the alternative cumsum+scatter to a serial
-    per-update loop on TPU, while top_k stays on the vector units.
+    One single-operand ascending lax.sort over keys = flat index where
+    valid else n (so the smallest k = leftmost valid): XLA lowers the
+    alternative cumsum+scatter to a serial per-update loop on TPU, and
+    lax.top_k to a two-operand stable sort - both slower.
 
     Returns (src (capacity,) i32 indices into the flattened input,
     slot_valid (capacity,) bool, count)."""
     vflat = valid.reshape(-1)
     n = vflat.shape[0]
-    keys = jnp.where(vflat, n - jnp.arange(n, dtype=jnp.int32), 0)
+    keys = jnp.where(vflat, jnp.arange(n, dtype=jnp.int32), n)
     k = min(capacity, n)
-    top, _ = jax.lax.top_k(keys, k)
-    src = jnp.where(top > 0, n - top, 0)
+    top = _first_k_ascending(keys, k)
+    src = jnp.where(top < n, top, 0)
     if k < capacity:
         src = jnp.pad(src, (0, capacity - k))
     count = jnp.minimum(jnp.sum(vflat.astype(jnp.int32)), capacity)
@@ -130,9 +144,18 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
     FeatureList with (NK, capacity) leaves (row k = key level k).
 
     Same per-level result as compact_level_keypoints, but everything
-    batches over the level dimension - one top_k / gather / where call on
+    batches over the level dimension - one sort / gather / where call on
     (NK, ...) operands instead of NK each. The dozens of tiny per-level
     ops the split version emitted were pure dispatch overhead on TPU.
+
+    Two-stage selection (both single-operand ascending sorts):
+      1. per row, the leftmost _ROW_CAP valid columns - key = col<<2|ftype
+         where valid else sentinel (the 2 type bits ride for free);
+      2. over the (H * _ROW_CAP) candidates, the first `capacity` in
+         raster order - key = (row*W+col)<<2|ftype.
+    Membership equals the scatter path exactly unless a single row holds
+    > _ROW_CAP detections (then overflow drops right-of-row instead of
+    end-of-raster - both beyond the reference's 0.5%-of-pixels saturation).
     """
     if isinstance(maps, list):
         # legacy per-level list -> stacked leaves (KeypointMaps itself is
@@ -144,31 +167,30 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
 
     kpr = min(w, _ROW_CAP)
     col = jax.lax.broadcasted_iota(jnp.int32, (nk, h, w), 2)
-    keys = jnp.where(valid3, w - col, 0)
-    topv, _ = jax.lax.top_k(keys, kpr)                   # (NK, H, kpr)
-    cand_valid = topv > 0
-    cand_col = jnp.where(cand_valid, w - topv, 0)
+    key1 = jnp.where(valid3, (col << 2) | (maps.ftype & 3), w << 2)
+    cand = _first_k_ascending(key1, kpr)                 # (NK, H, kpr)
+    cand_valid = cand < (w << 2)
     row = jax.lax.broadcasted_iota(jnp.int32, (nk, h, kpr), 1)
-    flat = row * w + cand_col
+    # global key: (row*w + col)<<2 | ftype; invalid -> n<<2 sentinel
+    key2 = jnp.where(cand_valid, ((row * w) << 2) + cand, n << 2)
 
     k2 = min(capacity, h * kpr)
-    keys2 = jnp.where(cand_valid, n - flat, 0).reshape(nk, -1)
-    top2, _ = jax.lax.top_k(keys2, k2)                   # (NK, k2)
-    src = jnp.where(top2 > 0, n - top2, 0)
+    sel = _first_k_ascending(key2.reshape(nk, -1), k2)   # (NK, k2)
+    sv2 = sel < (n << 2)
+    src = jnp.where(sv2, sel >> 2, 0)
+    t = jnp.where(sv2, sel & 3, 0)
     if k2 < capacity:
         src = jnp.pad(src, ((0, 0), (0, capacity - k2)))
+        t = jnp.pad(t, ((0, 0), (0, capacity - k2)))
     count = jnp.minimum(
         jnp.sum(cand_valid.astype(jnp.int32), axis=(1, 2)), capacity)
     sv = jnp.arange(capacity)[None, :] < count[:, None]  # (NK, cap)
 
-    rows_f = jnp.arange(h, dtype=jnp.float32).reshape(1, -1, 1)
-    cols_f = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, -1)
+    p1, p2 = _pack_payload(maps)
     take = lambda a: jnp.take_along_axis(a.reshape(nk, -1), src, axis=1)
-    x = take(cols_f + 0.5 + maps.dx)
-    y = take(rows_f + 0.5 + maps.dy)
-    r = take(maps.response)
-    t = take(maps.ftype)
-    ds = take(maps.ds)
+    dx, dy, r, ds = _unpack_payload(take(p1), take(p2))
+    x = (src % w).astype(jnp.float32) + 0.5 + dx
+    y = (src // w).astype(jnp.float32) + 0.5 + dy
     sig = jnp.asarray(sigmas, jnp.float32)[:, None] \
         * jnp.power(sigma_step, ds)
     return FeatureList(
@@ -186,22 +208,11 @@ def compact_level_keypoints(maps, sigma: float, sigma_step: float, capacity: int
 
     Coordinates follow the reference convention: x = col + 0.5 + dx
     (ComputeOrientation_Kernel, ProgramCU.cu:1281-1298), scale =
-    level_sigma * sigma_step**ds.
+    level_sigma * sigma_step**ds. Thin wrapper over the blocked octave
+    compaction so membership AND payload quantization are identical
+    everywhere (parallel/spatial.py merges per-shard lists from here
+    against pipeline lists from compact_octave_keypoints).
     """
-    h, w = maps.valid.shape
-    rows = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32).reshape(-1, 1), (h, w))
-    cols = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32).reshape(1, -1), (h, w))
-    x = cols + 0.5 + maps.dx
-    y = rows + 0.5 + maps.dy
-
-    src, slot_valid, count = _dense_compact_indices(maps.valid, capacity)
-    outs = [val.reshape(-1)[src] for val in
-            (x, y, maps.response, maps.ftype, maps.ds)]
-    xo, yo, ro, to, dso = [
-        jnp.where(slot_valid, o, jnp.zeros_like(o)) for o in outs]
-    return FeatureList(
-        x=xo, y=yo,
-        sigma=jnp.where(slot_valid, sigma * jnp.power(sigma_step, dso), 0.0),
-        theta=jnp.zeros((capacity,), jnp.float32),
-        response=ro, ftype=to, valid=slot_valid,
-    )
+    stacked = jax.tree.map(lambda a: a[None], maps)
+    fl = compact_octave_keypoints(stacked, [sigma], sigma_step, capacity)
+    return jax.tree.map(lambda a: a[0], fl)
