@@ -115,6 +115,41 @@ def compact_mask(valid: jnp.ndarray, values: Sequence[jnp.ndarray], capacity: in
     return count, outs, slot_valid
 
 
+def compact_sorted(valid: jnp.ndarray, values: Sequence[jnp.ndarray],
+                   capacity: int):
+    """compact_mask twin that rides payloads through ONE variadic sort.
+
+    For small tables (a few thousand slots) moving the payload operands
+    through the sorting network is far cheaper than per-field XLA gathers
+    on the TPU scalar core (~12 ns/element); selection is identical:
+    keys = flat index where valid else n, ascending.
+
+    Equal (invalid) keys may permute arbitrarily among themselves, so
+    every output is masked to zero past `count` - same contract as
+    compact_mask. Supports a leading batch dim on valid/values (the sort
+    runs along the last axis).
+
+    Returns (count, [compacted values...], slot_valid).
+    """
+    n = valid.shape[-1]
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), valid.shape)
+    keys = jnp.where(valid, idx, n)
+    outs = jax.lax.sort((keys,) + tuple(values), num_keys=1,
+                        dimension=valid.ndim - 1, is_stable=False)
+    k = min(capacity, n)
+    sel = outs[0][..., :k] < n
+    count = jnp.minimum(jnp.sum(valid.astype(jnp.int32), axis=-1), capacity)
+    res = []
+    for o in outs[1:]:
+        o = jnp.where(sel, o[..., :k], jnp.zeros_like(o[..., :k]))
+        if k < capacity:
+            o = jnp.pad(o, ((0, 0),) * (o.ndim - 1) + ((0, capacity - k),))
+        res.append(o)
+    slot_valid = jnp.arange(capacity) < count[..., None] \
+        if valid.ndim > 1 else jnp.arange(capacity) < count
+    return count, res, slot_valid
+
+
 def compact_indices(valid: jnp.ndarray, capacity: int):
     """First-`capacity` valid flat indices, in index order.
 

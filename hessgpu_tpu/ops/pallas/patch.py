@@ -279,8 +279,12 @@ def descriptor_pallas(
     Returns (G, 128) float32 (caller applies half-SIFT fold + normalize).
     """
     G0 = x.shape[0]
-    BK = 8  # keypoints per program (TPU wants >=8 sublanes per out block)
-    padk = (-G0) % BK
+    BK = 8   # keypoints per group (one window scratch buffer per slot)
+    NG = 4   # groups per program; a group whose slots are ALL invalid is
+    # skipped with one predicate, so the program-sequencing overhead of
+    # the (large) invalid tail of the front-packed table amortizes 4x
+    BKP = BK * NG
+    padk = (-G0) % BKP
     if padk:
         x = jnp.pad(x, (0, padk))
         y = jnp.pad(y, (0, padk))
@@ -293,7 +297,7 @@ def descriptor_pallas(
     r = (wsize - 1) // 2
 
     def kernel(xs, ys, sigs, ths, lvls, valids, lh, lw, pln, roff, coff,
-               grad_hbm, rot_hbm, out_ref, gwin, rwin, sems):
+               grad_hbm, rot_hbm, out_ref, gwin, rwin, obuf, sems):
         kb = pl.program_id(0)
 
         def copies(i, k):
@@ -310,60 +314,83 @@ def descriptor_pallas(
                     rwin.at[i], sems.at[i, 1]),
             )
 
-        # launch every slot's window DMAs up front so the 2*BK transfers
-        # overlap each other and the compute below (latency was the
-        # bottleneck: one start();wait() pair per slot serialized ~4k
-        # transfers per image)
-        for i in range(BK):
-            k = kb * BK + i
+        # groups run under a fori_loop (traced ONCE - a 4x unrolled body
+        # made Mosaic compiles take tens of minutes); slot results stage
+        # into obuf and land with one aligned block store per group
+        def group(g, carry):
+            base = kb * BKP + g * BK
+            any_valid = valids[base]
+            for i in range(1, BK):
+                any_valid = any_valid | valids[base + i]
 
-            @pl.when(valids[k] != 0)
-            def _(i=i, k=k):
-                cp_g, cp_r = copies(i, k)
-                cp_g.start()
-                cp_r.start()
+            @pl.when(any_valid != 0)
+            def _():
+                # launch every slot's window DMAs up front so the 2*BK
+                # transfers overlap each other and the compute below
+                # (latency was the bottleneck: one start();wait() pair per
+                # slot serialized ~4k transfers per image)
+                for i in range(BK):
+                    k = base + i
 
-        for i in range(BK):
-            k = kb * BK + i
-            is_valid = valids[k] != 0
+                    @pl.when(valids[k] != 0)
+                    def _(i=i, k=k):
+                        cp_g, cp_r = copies(i, k)
+                        cp_g.start()
+                        cp_r.start()
 
-            @pl.when(is_valid)
-            def _(i=i, k=k):
-                kx = xs[k]
-                ky = ys[k]
-                sig = sigs[k]
-                th = ths[k]
-                lvl = lvls[k]
-                _, _, y0f, x0f = _aligned_origin(ky, kx, r, pad,
-                                                 roff[lvl], coff[lvl])
+                for i in range(BK):
+                    k = base + i
+                    is_valid = valids[k] != 0
 
-                cp_g, cp_r = copies(i, k)
-                cp_g.wait()
-                cp_r.wait()
+                    @pl.when(is_valid)
+                    def _(i=i, k=k):
+                        kx = xs[k]
+                        ky = ys[k]
+                        sig = sigs[k]
+                        th = ths[k]
+                        lvl = lvls[k]
+                        _, _, y0f, x0f = _aligned_origin(
+                            ky, kx, r, pad, roff[lvl], coff[lvl])
 
-                spt = jnp.abs(sig * window_factor)
-                desc = _descriptor_compute(
-                    kx, ky, spt, th, y0f, x0f,
-                    lh[lvl].astype(jnp.float32), lw[lvl].astype(jnp.float32),
-                    gwin[i], rwin[i])
-                out_ref[i:i + 1, :] = desc
+                        cp_g, cp_r = copies(i, k)
+                        cp_g.wait()
+                        cp_r.wait()
 
-            @pl.when(jnp.logical_not(is_valid))
-            def _(i=i):
-                out_ref[i:i + 1, :] = jnp.zeros((1, 128), jnp.float32)
+                        spt = jnp.abs(sig * window_factor)
+                        desc = _descriptor_compute(
+                            kx, ky, spt, th, y0f, x0f,
+                            lh[lvl].astype(jnp.float32),
+                            lw[lvl].astype(jnp.float32),
+                            gwin[i], rwin[i])
+                        obuf[i:i + 1, :] = desc
+
+                    @pl.when(jnp.logical_not(is_valid))
+                    def _(i=i):
+                        obuf[i:i + 1, :] = jnp.zeros((1, 128), jnp.float32)
+
+            @pl.when(any_valid == 0)
+            def _():
+                obuf[:, :] = jnp.zeros((BK, 128), jnp.float32)
+
+            o0 = pl.multiple_of(g * BK, BK)
+            out_ref[pl.ds(o0, BK), :] = obuf[:, :]
+            return carry
+
+        jax.lax.fori_loop(0, NG, group, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=11,
-        grid=(G // BK,),
+        grid=(G // BKP,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # grad stack (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # rot stack
         ],
-        out_specs=pl.BlockSpec((BK, 128), lambda k, *_: (k, 0),
+        out_specs=pl.BlockSpec((BKP, 128), lambda k, *_: (k, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BK, rows, cols), jnp.float32),
             pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.VMEM((BK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((BK, 2)),
         ],
     )
@@ -401,8 +428,10 @@ def orientation_pallas(
     (ProgramCU.cu:1424-1489). Returns (thetas (G, 4), valid (G, 4) bool).
     """
     G0 = x.shape[0]
-    BK = 8
-    padk = (-G0) % BK
+    BK = 8   # keypoints per group (one window scratch buffer per slot)
+    NG = 4   # groups per program; all-invalid groups skip on one predicate
+    BKP = BK * NG
+    padk = (-G0) % BKP
     if padk:
         x = jnp.pad(x, (0, padk))
         y = jnp.pad(y, (0, padk))
@@ -428,7 +457,7 @@ def orientation_pallas(
                 rwin.at[i], sems.at[i, 1]),
         )
 
-    def _one_keypoint(k, i, xs, ys, sigs, lvls, valids, lh, lw,
+    def _one_keypoint(k, i, oi, xs, ys, sigs, lvls, valids, lh, lw,
                       pln, roff, coff,
                       grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
         is_valid = valids[k] != 0
@@ -514,8 +543,8 @@ def orientation_pallas(
                 theta = (imax.astype(jnp.float32) + 0.5 + off) \
                     / BINS_PER_RADIAN
                 lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
-                th_ref[i:i + 1, :] = jnp.where(lane4 == 0, theta, 0.0)
-                ov_ref[i:i + 1, :] = jnp.where(lane4 == 0, 1, 0)
+                th_ref[oi:oi + 1, :] = jnp.where(lane4 == 0, theta, 0.0)
+                ov_ref[oi:oi + 1, :] = jnp.where(lane4 == 0, 1, 0)
             else:
                 thr = peak_threshold * vmax
                 lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
@@ -559,52 +588,79 @@ def orientation_pallas(
                         jnp.where(ok, q * (TWO_PI / 255.0), 0.0), 0.0)
                     ov_row = ov_row + jnp.where(
                         lane4 == slot, jnp.where(ok, 1, 0), 0)
-                th_ref[i:i + 1, :] = th_row
-                ov_ref[i:i + 1, :] = ov_row
+                th_ref[oi:oi + 1, :] = th_row
+                ov_ref[oi:oi + 1, :] = ov_row
 
         @pl.when(jnp.logical_not(is_valid))
         def _():
-            th_ref[i:i + 1, :] = jnp.zeros((1, 4), jnp.float32)
-            ov_ref[i:i + 1, :] = jnp.zeros((1, 4), jnp.int32)
+            th_ref[oi:oi + 1, :] = jnp.zeros((1, 4), jnp.float32)
+            ov_ref[oi:oi + 1, :] = jnp.zeros((1, 4), jnp.int32)
 
     def kernel(xs, ys, sigs, lvls, valids, lh, lw, pln, roff, coff,
-               grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
+               grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin,
+               thbuf, ovbuf, sems):
         kb = pl.program_id(0)
-        # prefetch every slot's windows before any compute (overlaps the
-        # 2*BK DMAs with each other and with the histogram math)
-        for i in range(BK):
-            k = kb * BK + i
 
-            @pl.when(valids[k] != 0)
-            def _(i=i, k=k):
-                cp_g, cp_r = _window_copies(i, k, xs, ys, lvls, pln, roff,
-                                            coff, grad_hbm, rot_hbm, gwin,
-                                            rwin, sems)
-                cp_g.start()
-                cp_r.start()
+        # groups run under a fori_loop (traced ONCE - a 4x unrolled body
+        # made Mosaic compiles take tens of minutes); slot results stage
+        # into th/ov buffers and land with one aligned block store each
+        def group(g, carry):
+            base = kb * BKP + g * BK
+            any_valid = valids[base]
+            for i in range(1, BK):
+                any_valid = any_valid | valids[base + i]
 
-        for i in range(BK):
-            _one_keypoint(kb * BK + i, i, xs, ys, sigs, lvls, valids, lh, lw,
-                          pln, roff, coff,
-                          grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin,
-                          sems)
+            @pl.when(any_valid != 0)
+            def _():
+                # prefetch every slot's windows before any compute
+                # (overlaps the 2*BK DMAs with each other and the math)
+                for i in range(BK):
+                    k = base + i
+
+                    @pl.when(valids[k] != 0)
+                    def _(i=i, k=k):
+                        cp_g, cp_r = _window_copies(
+                            i, k, xs, ys, lvls, pln, roff, coff,
+                            grad_hbm, rot_hbm, gwin, rwin, sems)
+                        cp_g.start()
+                        cp_r.start()
+
+                for i in range(BK):
+                    _one_keypoint(base + i, i, i, xs, ys, sigs,
+                                  lvls, valids, lh, lw, pln, roff, coff,
+                                  grad_hbm, rot_hbm, thbuf, ovbuf, gwin,
+                                  rwin, sems)
+
+            @pl.when(any_valid == 0)
+            def _():
+                thbuf[:, :] = jnp.zeros((BK, 4), jnp.float32)
+                ovbuf[:, :] = jnp.zeros((BK, 4), jnp.int32)
+
+            o0 = pl.multiple_of(g * BK, BK)
+            th_ref[pl.ds(o0, BK), :] = thbuf[:, :]
+            ov_ref[pl.ds(o0, BK), :] = ovbuf[:, :]
+            return carry
+
+        jax.lax.fori_loop(0, NG, group, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
-        grid=(G // BK,),
+        grid=(G // BKP,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((BK, 4), lambda k, *_: (k, 0),
+            pl.BlockSpec((BKP, 4), lambda k, *_: (k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK, 4), lambda k, *_: (k, 0),
+            pl.BlockSpec((BKP, 4), lambda k, *_: (k, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((BK, rows, cols), jnp.float32),
             pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.VMEM((BK, 4), jnp.float32),
+            pltpu.VMEM((BK, 4), jnp.int32),
             pltpu.SemaphoreType.DMA((BK, 2)),
         ],
     )

@@ -31,7 +31,7 @@ from .config import (SiftConfig, TRUNCATE_KEEP_HIGHEST_LEVELS,
                      TRUNCATE_KEEP_LOWEST_LEVELS, TRUNCATE_TOP_K)
 from .features import FeatureTable
 from .ops import gaussian, hessian, keypoint, resize
-from .ops.compaction import (FeatureList, compact_mask,
+from .ops.compaction import (FeatureList, compact_sorted,
                              compact_level_keypoints,
                              compact_octave_keypoints)
 from .ops.descriptor import (compute_descriptors_flat,
@@ -217,27 +217,31 @@ def _globalize(lists: List[FeatureList], cap: int) -> GlobalTable:
             base += 1
     lid = jnp.asarray(np.concatenate(lid_np), jnp.int32)
     valid = cat("valid")
-    cnt, outs, slot_valid = compact_mask(
+    # payloads ride one variadic sort (theta is still all-zero here, and
+    # level_id packs with the 2-bit type) - gathers hit the scalar core
+    lidft = (lid << 2) | (cat("ftype") & 3)
+    cnt, outs, slot_valid = compact_sorted(
         valid,
-        [cat("x"), cat("y"), cat("sigma"), cat("theta"), cat("response"),
-         cat("ftype"), lid],
+        [cat("x"), cat("y"), cat("sigma"), cat("response"), lidft],
         cap,
     )
-    x, y, s, t, r, ft, lido = outs
-    return GlobalTable(x=x, y=y, sigma=s, theta=t, response=r, ftype=ft,
-                       level_id=lido, valid=slot_valid)
+    x, y, s, r, lf = outs
+    return GlobalTable(x=x, y=y, sigma=s, theta=jnp.zeros_like(x),
+                       response=r, ftype=jnp.where(slot_valid, lf & 3, 0),
+                       level_id=lf >> 2, valid=slot_valid)
 
 
 def _recompact(table: GlobalTable, keep: jnp.ndarray, cap: int) -> GlobalTable:
-    cnt, outs, slot_valid = compact_mask(
+    lidft = (table.level_id << 2) | (table.ftype & 3)
+    cnt, outs, slot_valid = compact_sorted(
         keep & table.valid,
-        [table.x, table.y, table.sigma, table.theta, table.response,
-         table.ftype, table.level_id],
+        [table.x, table.y, table.sigma, table.theta, table.response, lidft],
         cap,
     )
-    x, y, s, t, r, ft, lid = outs
-    return GlobalTable(x=x, y=y, sigma=s, theta=t, response=r, ftype=ft,
-                       level_id=lid, valid=slot_valid)
+    x, y, s, t, r, lf = outs
+    return GlobalTable(x=x, y=y, sigma=s, theta=t, response=r,
+                       ftype=jnp.where(slot_valid, lf & 3, 0),
+                       level_id=lf >> 2, valid=slot_valid)
 
 
 def _topk_mask(table: GlobalTable, k: int) -> jnp.ndarray:
@@ -453,17 +457,19 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                     G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
                     mask = (o_valid & table.valid[:, None]).reshape(-1)
                     rep = lambda a: jnp.repeat(a, 4)
-                    cnt, outs, slot_valid = compact_mask(
+                    lidft = (table.level_id << 2) | (table.ftype & 3)
+                    cnt, outs, slot_valid = compact_sorted(
                         mask,
                         [rep(table.x), rep(table.y), rep(table.sigma),
                          o_thetas.reshape(-1), rep(table.response),
-                         rep(table.ftype), rep(table.level_id)],
+                         rep(lidft)],
                         G_exp,
                     )
-                    x, y, sg, th, r, ft, lid = outs
-                    table = GlobalTable(x=x, y=y, sigma=sg, theta=th,
-                                        response=r, ftype=ft, level_id=lid,
-                                        valid=slot_valid)
+                    x, y, sg, th, r, lf = outs
+                    table = GlobalTable(
+                        x=x, y=y, sigma=sg, theta=th, response=r,
+                        ftype=jnp.where(slot_valid, lf & 3, 0),
+                        level_id=lf >> 2, valid=slot_valid)
 
         # ---- descriptors (separate pass) ----------------------------------
         if cfg.compute_descriptors:
@@ -671,16 +677,18 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
                 def expand(t, ot, ov):
                     mask = (ov & t.valid[:, None]).reshape(-1)
                     rep = lambda a: jnp.repeat(a, 4)
-                    cnt, outs, slot_valid = compact_mask(
+                    lidft = (t.level_id << 2) | (t.ftype & 3)
+                    cnt, outs, slot_valid = compact_sorted(
                         mask,
                         [rep(t.x), rep(t.y), rep(t.sigma), ot.reshape(-1),
-                         rep(t.response), rep(t.ftype), rep(t.level_id)],
+                         rep(t.response), rep(lidft)],
                         G_exp,
                     )
-                    x, y, sg, th, r2, ft, lid = outs
-                    return GlobalTable(x=x, y=y, sigma=sg, theta=th,
-                                       response=r2, ftype=ft, level_id=lid,
-                                       valid=slot_valid)
+                    x, y, sg, th, r2, lf = outs
+                    return GlobalTable(
+                        x=x, y=y, sigma=sg, theta=th, response=r2,
+                        ftype=jnp.where(slot_valid, lf & 3, 0),
+                        level_id=lf >> 2, valid=slot_valid)
 
                 table = jax.vmap(expand)(table, o_thetas, o_valid)
 
