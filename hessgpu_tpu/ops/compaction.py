@@ -203,7 +203,13 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
     kpr = min(w, _ROW_CAP)
     col = jax.lax.broadcasted_iota(jnp.int32, (nk, h, w), 2)
     key1 = jnp.where(valid3, (col << 2) | (maps.ftype & 3), w << 2)
-    cand = _first_k_ascending(key1, kpr)                 # (NK, H, kpr)
+    if (w << 2) < 0xFFFF:
+        # row keys fit u16 - halves the full-map sort's data movement
+        # (this sort is the largest op in GENERATE_FEATURE_LIST)
+        cand = _first_k_ascending(key1.astype(jnp.uint16), kpr) \
+            .astype(jnp.int32)
+    else:
+        cand = _first_k_ascending(key1, kpr)             # (NK, H, kpr)
     cand_valid = cand < (w << 2)
     row = jax.lax.broadcasted_iota(jnp.int32, (nk, h, kpr), 1)
     # global key: (row*w + col)<<2 | ftype; invalid -> n<<2 sentinel

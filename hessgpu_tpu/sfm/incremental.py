@@ -256,7 +256,6 @@ def reconstruct_sequence(
         skipped = 0
         Ri, ti, inl = got
         cam = len(rec.R)
-        v_last = rec.view_ids[-1]
         rec.R.append(Ri)
         rec.t.append(ti)
         rec.view_ids.append(i)
@@ -267,20 +266,24 @@ def reconstruct_sequence(
                                 float(feature_sets[i]["x"][fcur]),
                                 float(feature_sets[i]["y"][fcur])))
 
-        # triangulate brand-new tracks between the previous registered
-        # view and i
-        cam_prev = cam - 1
-        P_prev = K @ np.hstack([rec.R[cam_prev], rec.t[cam_prev][:, None]])
+        # triangulate brand-new tracks between EVERY lookback view and i
+        # (nearest first; single-pair triangulation starved the map when
+        # adjacent overlap was sparse - the round-2 ATE-0.23 failure mode)
         P_cur = K @ np.hstack([Ri, ti[:, None]])
-        mm = matches(v_last, i)
-        fresh = [(fp, fc) for fp, fc in mm
-                 if (v_last, int(fp)) not in rec.track_of
-                 and (i, int(fc)) not in rec.track_of]
-        if fresh:
+        for v_prev in reversed(rec.view_ids[-lookback - 1:-1]):
+            cam_prev = rec.view_ids.index(v_prev)
+            P_prev = K @ np.hstack([rec.R[cam_prev],
+                                    rec.t[cam_prev][:, None]])
+            mm = matches(v_prev, i)
+            fresh = [(fp, fc) for fp, fc in mm
+                     if (v_prev, int(fp)) not in rec.track_of
+                     and (i, int(fc)) not in rec.track_of]
+            if not fresh:
+                continue
             fp = np.asarray([f for f, _ in fresh])
             fc = np.asarray([f for _, f in fresh])
-            q1 = np.stack([feature_sets[v_last]["x"][fp],
-                           feature_sets[v_last]["y"][fp]], 1)
+            q1 = np.stack([feature_sets[v_prev]["x"][fp],
+                           feature_sets[v_prev]["y"][fp]], 1)
             q2 = np.stack([feature_sets[i]["x"][fc],
                            feature_sets[i]["y"][fc]], 1)
             Xn = np.asarray(triangulate(
@@ -290,12 +293,19 @@ def reconstruct_sequence(
             z1 = (Xn @ rec.R[cam_prev].T + rec.t[cam_prev])[:, 2]
             z2 = (Xn @ Ri.T + ti)[:, 2]
             ok = (z1 > 0) & (z2 > 0) & np.isfinite(Xn).all(1)
+            # reprojection gate (cheirality alone admitted glancing-ray
+            # points that Huber BA then had to fight)
+            for (Pm, q) in ((P_prev, q1), (P_cur, q2)):
+                pr = Xn @ Pm[:, :3].T + Pm[:, 3]
+                zs = np.where(np.abs(pr[:, 2]) < 1e-9, 1e-9, pr[:, 2])
+                err = np.linalg.norm(pr[:, :2] / zs[:, None] - q, axis=1)
+                ok &= err < 8.0
             base = rec.points.shape[0]
             rec.points = np.vstack([rec.points, Xn[ok]])
             tid = base
             for k, (fpk, fck) in enumerate(fresh):
                 if ok[k]:
-                    rec.track_of[(v_last, int(fpk))] = tid
+                    rec.track_of[(v_prev, int(fpk))] = tid
                     rec.track_of[(i, int(fck))] = tid
                     rec.obs.append((cam_prev, tid,
                                     float(q1[k, 0]), float(q1[k, 1])))
