@@ -114,6 +114,7 @@ def detect_octave_pallas(
     edge_threshold: float,
     subpixel: bool = True,
     darkness_adaption: bool = False,
+    canvas=None,
     interpret: bool = False,
 ):
     """Fused detection for one octave - ONE kernel launch per octave.
@@ -131,6 +132,16 @@ def detect_octave_pallas(
     Returns (KeypointMaps with (NK, H, W) leaves - row i = key level
     key_levels[i], grad (NK, H, W), rot (NK, H, W)); gradient maps are
     per KEY level.
+
+    canvas: optional (grad_planes, rot_planes, plane_ids, dros, dcos, P)
+    - the kernel then DMAs each level's gradient/rotation blocks STRAIGHT
+    into the PackedStack canvas cells (plane b*P + plane_ids[li], rows
+    dros[li] + block, cols dcos[li]; all static, tile-aligned - see
+    patch.PackingPlan) instead of materializing (NK, H, W) maps that a
+    separate pad/concat pass would re-copy. Returns (maps, grad_planes,
+    rot_planes) with the canvases threaded through (input/output
+    aliased). Cell margins may receive write-overshoot junk; window
+    membership masks make margin content irrelevant.
     """
     from ..keypoint import KeypointMaps
 
@@ -145,6 +156,7 @@ def detect_octave_pallas(
     te = (edge_threshold + 1.0) ** 2 / edge_threshold
 
     if H < 192 or W < 192:
+        assert canvas is None, "canvas mode requires the kernel path"
         # small octaves: per-call fixed costs beat the fusion win - use the
         # XLA path (identical reference math)
         from .. import hessian as hops
@@ -182,8 +194,21 @@ def detect_octave_pallas(
                  ((0, 0), (0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
                  mode="edge")
 
-    def kernel(g_hbm, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref,
-               type_ref, grad_ref, rot_ref, gbuf, sem):
+    if canvas is not None:
+        gradc, rotc, plane_ids, dros, dcos, P = canvas
+        plane_ids = [int(v) for v in plane_ids]
+        dros = [int(v) for v in dros]
+        dcos = [int(v) for v in dcos]
+        Wc = (W + 127) // 128 * 128   # write width (margin junk is masked)
+
+    def kernel(g_hbm, *refs):
+        if canvas is None:
+            (valid_ref, resp_ref, dx_ref, dy_ref, ds_ref, type_ref,
+             grad_ref, rot_ref, gbuf, sem) = refs
+        else:
+            (_gc_in, _rc_in, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref,
+             type_ref, gc_ref, rc_ref, gbuf, gscr, rscr, sem,
+             csem) = refs
         b = pl.program_id(0)
         blk = pl.program_id(1)
         row0 = pl.multiple_of(blk * BRD, 8)
@@ -327,35 +352,85 @@ def detect_octave_pallas(
             dxg = gright - gleft
             dyg = gdown - gup
             mag = 0.5 * jnp.sqrt(dxg * dxg + dyg * dyg)
-            grad_ref[0, li, :, :] = mag
-            rot_ref[0, li, :, :] = jnp.where(mag == 0.0, 0.0,
-                                             _atan2(dyg, dxg))
+            rotv = jnp.where(mag == 0.0, 0.0, _atan2(dyg, dxg))
+            if canvas is None:
+                grad_ref[0, li, :, :] = mag
+                rot_ref[0, li, :, :] = rotv
+            else:
+                gscr[li, :, :W] = mag
+                rscr[li, :, :W] = rotv
+
+        if canvas is not None:
+            # one DMA per level/map straight into the canvas cell (started
+            # together, waited together so they overlap)
+            cps = []
+            for li in range(NK):
+                pb = b * P + plane_ids[li]
+                r0 = pl.multiple_of(dros[li] + row0, 8)
+                for j, (scr, ref) in enumerate(((gscr, gc_ref),
+                                                (rscr, rc_ref))):
+                    cp = pltpu.make_async_copy(
+                        scr.at[li],
+                        ref.at[pb, pl.ds(r0, BRD), pl.ds(dcos[li], Wc)],
+                        csem.at[li, j])
+                    cp.start()
+                    cps.append(cp)
+            for cp in cps:
+                cp.wait()
 
         _ = sem  # silence unused in interpret mode
 
     blockspec = pl.BlockSpec((1, NK, BRD, W), lambda b, i: (b, 0, i, 0),
                              memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B, nblk),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((B, NK, H, W), dt) for dt in
-            (jnp.int32, jnp.float32, jnp.float32, jnp.float32,
-             jnp.float32, jnp.int32, jnp.float32, jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=tuple(blockspec for _ in range(8)),
-        scratch_shapes=[
-            pltpu.VMEM((NP, BRH, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(gp)
-    validk, respk, dxk, dyk, dsk, typek, gradk, rotk = outs
+    map_dts = (jnp.int32, jnp.float32, jnp.float32, jnp.float32,
+               jnp.float32, jnp.int32)
+    if canvas is None:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, nblk),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((B, NK, H, W), dt)
+                for dt in map_dts + (jnp.float32, jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=tuple(blockspec for _ in range(8)),
+            scratch_shapes=[
+                pltpu.VMEM((NP, BRH, Wp), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(gp)
+        validk, respk, dxk, dyk, dsk, typek = outs[:6]
+        gradk, rotk = outs[6], outs[7]
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, nblk),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((B, NK, H, W), dt) for dt in map_dts]
+                + [jax.ShapeDtypeStruct(gradc.shape, gradc.dtype),
+                   jax.ShapeDtypeStruct(rotc.shape, rotc.dtype)]),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=tuple([blockspec] * 6
+                            + [pl.BlockSpec(memory_space=pl.ANY)] * 2),
+            scratch_shapes=[
+                pltpu.VMEM((NP, BRH, Wp), jnp.float32),
+                pltpu.VMEM((NK, BRD, Wc), jnp.float32),
+                pltpu.VMEM((NK, BRD, Wc), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((NK, 2)),
+            ],
+            input_output_aliases={1: 6, 2: 7},
+            interpret=interpret,
+        )(gp, gradc, rotc)
+        validk, respk, dxk, dyk, dsk, typek = outs[:6]
+        gradk, rotk = outs[6], outs[7]   # the canvases, threaded through
     # reference stores responses as packed half floats (ProgramCU.cu:865)
     respk = respk.astype(jnp.float16).astype(jnp.float32)
     maps = KeypointMaps(valid=validk.astype(jnp.bool_), response=respk,
                         dx=dxk, dy=dyk, ds=dsk, ftype=typek)
     if not batched:
         maps = KeypointMaps(*(a[0] for a in maps))
-        return maps, gradk[0], rotk[0]
+        if canvas is None:
+            return maps, gradk[0], rotk[0]
+        return maps, gradk, rotk
     return maps, gradk, rotk

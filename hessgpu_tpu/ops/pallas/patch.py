@@ -26,7 +26,7 @@ GLSL backend played for the reference's CUDA path).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -64,15 +64,104 @@ class PackedStack(NamedTuple):
     level_w: jnp.ndarray
 
 
+class PackingPlan:
+    """Host-side canvas geometry shared by the jnp canvas builder and the
+    detect kernel's direct canvas writes.
+
+    Level i's DATA pixel (0, 0) lives at plane `plane_of[i]`, row
+    `dro[i]`, col `dco[i]` - a (8, 128)-tile-aligned origin so the detect
+    kernel can DMA (row-block, 128k)-shaped gradient tiles straight into
+    the cell. Window margins around the data may hold zeros, a neighbour
+    level's pixels, or write-overshoot junk; per-keypoint kernels mask
+    membership in absolute level coordinates, so margin CONTENT never
+    matters (only that it is finite).
+    """
+
+    def __init__(self, shapes: Sequence[tuple], pad: int):
+        L = len(shapes)
+        pad8 = (pad + 7) // 8 * 8
+        pad128 = 128
+        cells = []
+        for (h, w) in shapes:
+            # rows: data at pad8, detect writes overshoot <= 31 rows,
+            # window reads reach ~pad below the data; cols: data at 128,
+            # writes overshoot < 128, window reads reach ~pad + 256
+            ch = (h + pad8 + pad + 40 + 7) // 8 * 8
+            cw = (w + pad128 + pad + 256 + 127) // 128 * 128
+            cells.append((ch, cw))
+        Hp, Wp = cells[0]
+
+        # shelf packing: full-height cells get their own plane; smaller
+        # cells fill shared planes left-to-right, top-to-bottom
+        plane_of = [0] * L
+        roff = [0] * L
+        coff = [0] * L
+        plane_shelves = []   # per plane: list of shelves [(y, [levels])]
+        cur = None           # (plane_idx, next_y, next_x, shelf_h)
+        for i, (ch, cw) in enumerate(cells):
+            if ch >= Hp and cw >= Wp:
+                plane_shelves.append([(0, [i])])
+                plane_of[i] = len(plane_shelves) - 1
+                continue
+            if cur is not None:
+                pi, ny, nx, sh = cur
+                if nx + cw > Wp:                      # new shelf
+                    ny, nx, sh = ny + sh, 0, 0
+                if ny + ch > Hp:                      # plane full
+                    cur = None
+            if cur is None:
+                plane_shelves.append([])
+                cur = (len(plane_shelves) - 1, 0, 0, 0)
+                pi, ny, nx, sh = cur
+                if nx + cw > Wp or ny + ch > Hp:
+                    raise ValueError("cell larger than plane")
+            if nx == 0:
+                plane_shelves[pi].append((ny, []))
+            plane_shelves[pi][-1][1].append(i)
+            plane_of[i], roff[i], coff[i] = pi, ny, nx
+            cur = (pi, ny, nx + cw, max(sh, ch))
+
+        self.shapes = list(shapes)
+        self.pad = pad
+        self.pad8 = pad8
+        self.pad128 = pad128
+        self.cells = cells
+        self.Hp, self.Wp = Hp, Wp
+        self.plane_of = plane_of
+        self.plane_shelves = plane_shelves
+        self.num_planes = len(plane_shelves)
+        self.dro = [roff[i] + pad8 for i in range(L)]
+        self.dco = [coff[i] + pad128 for i in range(L)]
+
+    def tables(self, batch: Optional[int] = None):
+        """PackedStack lookup tables (plane, row_off, col_off, h, w).
+
+        row_off/col_off follow _aligned_origin's convention: data pixel
+        (0, 0) sits at (row_off + pad, col_off + pad)."""
+        L = len(self.shapes)
+        plane_a = np.asarray(self.plane_of, np.int32)
+        roff_a = np.asarray([d - self.pad for d in self.dro], np.int32)
+        coff_a = np.asarray([d - self.pad for d in self.dco], np.int32)
+        lh = np.asarray([h for (h, _) in self.shapes], np.int32)
+        lw = np.asarray([w for (_, w) in self.shapes], np.int32)
+        if batch is not None:
+            P = self.num_planes
+            plane_a = (np.tile(plane_a, batch)
+                       + np.repeat(np.arange(batch, dtype=np.int32) * P, L))
+            roff_a = np.tile(roff_a, batch)
+            coff_a = np.tile(coff_a, batch)
+            lh = np.tile(lh, batch)
+            lw = np.tile(lw, batch)
+        return (jnp.asarray(plane_a), jnp.asarray(roff_a),
+                jnp.asarray(coff_a), jnp.asarray(lh), jnp.asarray(lw))
+
+
 def build_padded_stack(grads: Sequence[jnp.ndarray],
                        rots: Sequence[jnp.ndarray], pad: int) -> PackedStack:
     """Pack per-level maps into shared canvas planes -> PackedStack.
 
-    Each level occupies a cell with `pad` zeros on the top/left and
-    margins sized so a tile-aligned window DMA for any in-image keypoint
-    stays inside the cell (extra gathered pixels are zeros or a
-    neighbouring level's data - membership masks in absolute level
-    coordinates zero their contribution either way).
+    jnp pad/concat canvas builder for the CPU/fallback path (the TPU
+    detect kernel writes the canvas directly, detect_octave_pallas).
 
     Per-level maps may carry a leading batch dim (B, h, w); planes are
     then (B * P, Hp, Wp) and every lookup table is (B * L,), so one
@@ -81,45 +170,13 @@ def build_padded_stack(grads: Sequence[jnp.ndarray],
     """
     L = len(grads)
     batched = grads[0].ndim == 3
-    cells = []
-    for g in grads:
-        h, w = g.shape[-2], g.shape[-1]
-        ch = (h + 2 * pad + 24 + 7) // 8 * 8
-        cw = (w + 2 * pad + 256 + 127) // 128 * 128
-        cells.append((ch, cw))
-    Hp, Wp = cells[0]
-
-    # shelf packing: full-height cells get their own plane; smaller cells
-    # fill shared planes left-to-right, top-to-bottom
-    plane_of = [0] * L
-    roff = [0] * L
-    coff = [0] * L
-    plane_shelves = []   # per plane: list of shelves [(y, [level indices])]
-    cur = None           # (plane_idx, next_y, next_x, shelf_h)
-    for i, (ch, cw) in enumerate(cells):
-        if ch >= Hp and cw >= Wp:
-            plane_shelves.append([(0, [i])])
-            plane_of[i] = len(plane_shelves) - 1
-            continue
-        if cur is not None:
-            pi, ny, nx, sh = cur
-            if nx + cw > Wp:                      # new shelf
-                ny, nx, sh = ny + sh, 0, 0
-            if ny + ch > Hp:                      # plane full
-                cur = None
-        if cur is None:
-            plane_shelves.append([])
-            cur = (len(plane_shelves) - 1, 0, 0, 0)
-            pi, ny, nx, sh = cur
-            if nx + cw > Wp or ny + ch > Hp:
-                raise ValueError("cell larger than plane")
-        if nx == 0:
-            plane_shelves[pi].append((ny, []))
-        plane_shelves[pi][-1][1].append(i)
-        plane_of[i], roff[i], coff[i] = pi, ny, nx
-        cur = (pi, ny, nx + cw, max(sh, ch))
-
-    P = len(plane_shelves)
+    plan = PackingPlan([(g.shape[-2], g.shape[-1]) for g in grads], pad)
+    cells = plan.cells
+    Hp, Wp = plan.Hp, plan.Wp
+    plane_shelves = plan.plane_shelves
+    pad_r = plan.pad8
+    pad_c = plan.pad128
+    P = plan.num_planes
 
     def build(levels):
         planes = []
@@ -135,7 +192,7 @@ def build_padded_stack(grads: Sequence[jnp.ndarray],
                     h, w = a.shape[-2], a.shape[-1]
                     ch, cw = cells[i]
                     spec = ((0, 0),) * (a.ndim - 2) + (
-                        (pad, sh - h - pad), (pad, cw - w - pad))
+                        (pad_r, sh - h - pad_r), (pad_c, cw - w - pad_c))
                     row_cells.append(jnp.pad(a, spec))
                     used_w += cw
                 row = row_cells[0] if len(row_cells) == 1 else \
@@ -157,24 +214,11 @@ def build_padded_stack(grads: Sequence[jnp.ndarray],
 
     gs = build(grads)
     rs = build(rots)
-    plane_a = np.asarray(plane_of, np.int32)
-    roff_a = np.asarray(roff, np.int32)
-    coff_a = np.asarray(coff, np.int32)
-    lh = np.asarray([g.shape[-2] for g in grads], np.int32)
-    lw = np.asarray([g.shape[-1] for g in grads], np.int32)
+    B = grads[0].shape[0] if batched else None
     if batched:
-        B = grads[0].shape[0]
         gs = gs.reshape(-1, Hp, Wp)
         rs = rs.reshape(-1, Hp, Wp)
-        plane_a = (np.tile(plane_a, B)
-                   + np.repeat(np.arange(B, dtype=np.int32) * P, L))
-        roff_a = np.tile(roff_a, B)
-        coff_a = np.tile(coff_a, B)
-        lh = np.tile(lh, B)
-        lw = np.tile(lw, B)
-    return PackedStack(gs, rs, jnp.asarray(plane_a), jnp.asarray(roff_a),
-                       jnp.asarray(coff_a), jnp.asarray(lh),
-                       jnp.asarray(lw))
+    return PackedStack(gs, rs, *plan.tables(B))
 
 
 def _aligned_origin(ky, kx, r, pad, roff=0, coff=0):

@@ -294,23 +294,79 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     with jax.named_scope("BUILD_PYRAMID"):
         octaves = _build_pyramid(img, plan, cfg)
 
+    NKEY = len(p.key_levels)
+    max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
+        (sigma_step if cfg.subpixel else 1.0)
+    owin = 2 * int(math.ceil(
+        abs(max_sigma) * cfg.orientation_gaussian_factor
+        * cfg.orientation_window_factor + 1.0)) + 1
+    dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
+    pad = (max(owin, dwin) - 1) // 2 + 2
+
+    # Pallas kernels on real accelerators; the jnp path on CPU (interpret
+    # mode over thousands of grid programs is impractically slow - the
+    # jnp/pallas equivalence is covered by tests/test_pallas_patch.py).
+    interpret = jax.default_backend() == "cpu"
+    use_pallas = cfg.use_pallas and not interpret
+    # hessian personality on device: the detect kernel writes grad/rot
+    # blocks straight into the PackedStack canvas (see run_pipeline_batched)
+    use_canvas = use_pallas and cfg.detector == "hessian"
+    if use_canvas:
+        from .ops.pallas.patch import PackedStack, PackingPlan
+        shapes = []
+        for gauss_oct in octaves:
+            shapes += [gauss_oct.shape[-2:]] * NKEY
+        pplan = PackingPlan(shapes, pad)
+        gradc = jnp.zeros((pplan.num_planes, pplan.Hp, pplan.Wp),
+                          jnp.float32)
+        rotc = jnp.zeros_like(gradc)
+
     # ---- detection + per-level compaction (cheap scatters) -------------------
     all_lists: List[FeatureList] = []
     grads: List[jnp.ndarray] = []
     rots: List[jnp.ndarray] = []
     idx = 0
     for o, gauss_oct in enumerate(octaves):
+        oh, ow = gauss_oct.shape[-2:]
+        kernel_oct = use_canvas and min(oh, ow) >= 192
         with jax.named_scope("DETECT_KEYPOINTS"):
-            maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
+            if kernel_oct:
+                from .ops.pallas.detect import detect_octave_pallas
+                lids = [o * NKEY + li for li in range(NKEY)]
+                norms = [(p.level_sigma(l) ** 4)
+                         for l in range(p.level_min, p.level_max + 1)]
+                maps, gradc, rotc = detect_octave_pallas(
+                    gauss_oct, norms, p.key_levels,
+                    threshold=p.threshold,
+                    edge_threshold=p.edge_threshold,
+                    subpixel=cfg.subpixel,
+                    darkness_adaption=cfg.darkness_adaption,
+                    canvas=(gradc, rotc,
+                            [pplan.plane_of[l] for l in lids],
+                            [pplan.dro[l] for l in lids],
+                            [pplan.dco[l] for l in lids],
+                            pplan.num_planes))
+            else:
+                maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
+                if use_canvas:
+                    for li in range(NKEY):
+                        l = o * NKEY + li
+                        org = (pplan.plane_of[l], pplan.dro[l],
+                               pplan.dco[l])
+                        gradc = jax.lax.dynamic_update_slice(
+                            gradc, grad[li][None], org)
+                        rotc = jax.lax.dynamic_update_slice(
+                            rotc, rot[li][None], org)
         sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         with jax.named_scope("GENERATE_FEATURE_LIST"):
             # one blocked list per octave ((NK, cap) leaves)
             all_lists.append(compact_octave_keypoints(
                 maps, sigmas, sigma_step, plan.level_caps[idx]))
-        for li in range(len(p.key_levels)):
-            grads.append(grad[li])
-            rots.append(rot[li])
-            idx += 1
+        if not use_canvas:
+            for li in range(NKEY):
+                grads.append(grad[li])
+                rots.append(rot[li])
+        idx += NKEY
 
     # ---- global table + flattened pyramid buffers -----------------------------
     # per-(octave, level) counts for the -v report (reference
@@ -323,13 +379,15 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
         table = _globalize(all_lists, G)
         pre_count = table.count()
 
-    flat_grad = jnp.concatenate([g.reshape(-1) for g in grads])
-    flat_rot = jnp.concatenate([r.reshape(-1) for r in rots])
-    sizes = [g.shape for g in grads]
-    bases = np.cumsum([0] + [h * w for (h, w) in sizes[:-1]])
-    level_base = jnp.asarray(bases, jnp.int32)
-    level_h = jnp.asarray([h for (h, _) in sizes], jnp.int32)
-    level_w = jnp.asarray([w for (_, w) in sizes], jnp.int32)
+    if not use_pallas:
+        # flattened pyramid buffers for the jnp orientation/descriptor ops
+        flat_grad = jnp.concatenate([g.reshape(-1) for g in grads])
+        flat_rot = jnp.concatenate([r.reshape(-1) for r in rots])
+        sizes = [g.shape for g in grads]
+        bases = np.cumsum([0] + [h * w for (h, w) in sizes[:-1]])
+        level_base = jnp.asarray(bases, jnp.int32)
+        level_h = jnp.asarray([h for (h, _) in sizes], jnp.int32)
+        level_w = jnp.asarray([w for (_, w) in sizes], jnp.int32)
 
     # ---- truncation (reference LimitFeatureCount, SiftPyramid.cpp:201-278)
     if cfg.feature_count_threshold > 0:
@@ -349,24 +407,14 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                     G)
 
     # ---- orientations (one pass over all levels) ------------------------------
-    max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
-        (sigma_step if cfg.subpixel else 1.0)
-    owin = 2 * int(math.ceil(
-        abs(max_sigma) * cfg.orientation_gaussian_factor
-        * cfg.orientation_window_factor + 1.0)) + 1
-    dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
-
-    # Pallas kernels on real accelerators; the jnp path on CPU (interpret
-    # mode over thousands of grid programs is impractically slow - the
-    # jnp/pallas equivalence is covered by tests/test_pallas_patch.py).
-    interpret = jax.default_backend() == "cpu"
-    use_pallas = cfg.use_pallas and not interpret
     if use_pallas:
         from .ops.pallas.patch import (build_padded_stack, descriptor_pallas,
                                        orientation_pallas)
-        pad = (max(owin, dwin) - 1) // 2 + 2
         with jax.named_scope("COMPUTE_ORIENTATIONS"):
-            pstack = build_padded_stack(grads, rots, pad)
+            if use_canvas:
+                pstack = PackedStack(gradc, rotc, *pplan.tables())
+            else:
+                pstack = build_padded_stack(grads, rots, pad)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 
@@ -571,23 +619,83 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     with jax.named_scope("BUILD_PYRAMID"):
         octaves = _build_pyramid(imgs, plan, cfg)
 
+    NKEY = len(p.key_levels)
+    max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
+        (sigma_step if cfg.subpixel else 1.0)
+    owin = 2 * int(math.ceil(
+        abs(max_sigma) * cfg.orientation_gaussian_factor
+        * cfg.orientation_window_factor + 1.0)) + 1
+    dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
+    pad = (max(owin, dwin) - 1) // 2 + 2
+
+    from .ops.pallas.patch import (PackedStack, PackingPlan,
+                                   build_padded_stack, descriptor_pallas,
+                                   orientation_pallas)
+    # hessian personality: the detect kernel writes gradient/rotation
+    # blocks STRAIGHT into the PackedStack canvas cells (no (NK, H, W)
+    # intermediates, no pad/concat canvas build - that copy pass cost
+    # ~2 ms/batch at B=16)
+    use_canvas = cfg.detector == "hessian"
+    if use_canvas:
+        shapes = []
+        for gauss_oct in octaves:
+            shapes += [gauss_oct.shape[-2:]] * NKEY
+        pplan = PackingPlan(shapes, pad)
+        P = pplan.num_planes
+        gradc = jnp.zeros((B * P, pplan.Hp, pplan.Wp), jnp.float32)
+        rotc = jnp.zeros_like(gradc)
+
     all_lists: List[FeatureList] = []
     grads: List[jnp.ndarray] = []
     rots: List[jnp.ndarray] = []
     idx = 0
     for o, gauss_oct in enumerate(octaves):
+        oh, ow = gauss_oct.shape[-2:]
+        kernel_oct = (cfg.detector == "hessian" and min(oh, ow) >= 192)
         with jax.named_scope("DETECT_KEYPOINTS"):
-            maps, grad, rot = _detect_octave_batched(gauss_oct, plan, cfg)
+            if use_canvas and kernel_oct:
+                from .ops.pallas.detect import detect_octave_pallas
+                lids = [o * NKEY + li for li in range(NKEY)]
+                norms = [(p.level_sigma(l) ** 4)
+                         for l in range(p.level_min, p.level_max + 1)]
+                maps, gradc, rotc = detect_octave_pallas(
+                    gauss_oct, norms, p.key_levels,
+                    threshold=p.threshold,
+                    edge_threshold=p.edge_threshold,
+                    subpixel=cfg.subpixel,
+                    darkness_adaption=cfg.darkness_adaption,
+                    canvas=(gradc, rotc,
+                            [pplan.plane_of[l] for l in lids],
+                            [pplan.dro[l] for l in lids],
+                            [pplan.dco[l] for l in lids], P))
+            else:
+                maps, grad, rot = _detect_octave_batched(gauss_oct, plan,
+                                                         cfg)
+                if use_canvas:
+                    # small octaves: place the jnp maps into their cells
+                    g4 = gradc.reshape(B, P, pplan.Hp, pplan.Wp)
+                    r4 = rotc.reshape(B, P, pplan.Hp, pplan.Wp)
+                    for li in range(NKEY):
+                        l = o * NKEY + li
+                        org = (pplan.plane_of[l], pplan.dro[l],
+                               pplan.dco[l])
+                        dus = lambda c, g: jax.lax.dynamic_update_slice(
+                            c, g[None], org)
+                        g4 = jax.vmap(dus)(g4, grad[:, li])
+                        r4 = jax.vmap(dus)(r4, rot[:, li])
+                    gradc = g4.reshape(B * P, pplan.Hp, pplan.Wp)
+                    rotc = r4.reshape(B * P, pplan.Hp, pplan.Wp)
         sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         cap = plan.level_caps[idx]
         with jax.named_scope("GENERATE_FEATURE_LIST"):
             # one blocked list per octave ((B, NK, cap) leaves)
             all_lists.append(jax.vmap(lambda ms: compact_octave_keypoints(
                 ms, sigmas, sigma_step, cap))(maps))
-        for li in range(len(p.key_levels)):
-            grads.append(grad[:, li])
-            rots.append(rot[:, li])
-            idx += 1
+        if not use_canvas:
+            for li in range(NKEY):
+                grads.append(grad[:, li])
+                rots.append(rot[:, li])
+        idx += NKEY
 
     with jax.named_scope("GENERATE_FEATURE_LIST"):
         level_counts = jnp.concatenate(
@@ -610,19 +718,12 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
                 table = jax.vmap(lambda t: _recompact(
                     t, _level_trunc_mask(t, k, nl, False), G))(table)
 
-    max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
-        (sigma_step if cfg.subpixel else 1.0)
-    owin = 2 * int(math.ceil(
-        abs(max_sigma) * cfg.orientation_gaussian_factor
-        * cfg.orientation_window_factor + 1.0)) + 1
-    dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
-
-    from .ops.pallas.patch import (build_padded_stack, descriptor_pallas,
-                                   orientation_pallas)
-    L_tot = len(grads)
-    pad = (max(owin, dwin) - 1) // 2 + 2
+    L_tot = NKEY * len(octaves)
     with jax.named_scope("COMPUTE_ORIENTATIONS"):
-        pstack = build_padded_stack(grads, rots, pad)
+        if use_canvas:
+            pstack = PackedStack(gradc, rotc, *pplan.tables(B))
+        else:
+            pstack = build_padded_stack(grads, rots, pad)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 

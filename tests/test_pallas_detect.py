@@ -53,3 +53,79 @@ def test_fused_detect_matches_reference(octave, subpixel):
                                    np.asarray(grad[kl]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(rot_p[i]),
                                    np.asarray(rot[kl]), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def octave_big():
+    rng = np.random.RandomState(5)
+    base = jnp.asarray(rng.rand(200, 256).astype(np.float32))
+    p = ScaleSpaceParams()
+    return build_octave_chain(base, p), p
+
+
+def test_canvas_mode_matches_plain(octave_big):
+    """canvas=(...) writes each level's grad/rot into its PackedStack cell
+    (plus masked margin junk); the cells must equal the plain outputs."""
+    from hessgpu_tpu.ops.pallas.patch import PackingPlan
+
+    gauss, p = octave_big
+    norms = [(p.level_sigma(l) ** 4) for l in range(p.num_levels)]
+    kw = dict(threshold=p.threshold, edge_threshold=p.edge_threshold,
+              subpixel=True, interpret=True)
+    maps0, grad0, rot0 = detect_octave_pallas(gauss, norms, p.key_levels,
+                                              **kw)
+
+    h, w = gauss.shape[-2:]
+    nk = len(p.key_levels)
+    pplan = PackingPlan([(h, w)] * nk, pad=24)
+    gradc = jnp.zeros((pplan.num_planes, pplan.Hp, pplan.Wp), jnp.float32)
+    rotc = jnp.zeros_like(gradc)
+    maps1, gradc, rotc = detect_octave_pallas(
+        gauss, norms, p.key_levels,
+        canvas=(gradc, rotc, pplan.plane_of, pplan.dro, pplan.dco,
+                pplan.num_planes), **kw)
+
+    for f in maps0._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(maps1, f)),
+                                      np.asarray(getattr(maps0, f)),
+                                      err_msg=f"map field {f}")
+    for li in range(nk):
+        pi, ro, co = pplan.plane_of[li], pplan.dro[li], pplan.dco[li]
+        np.testing.assert_array_equal(
+            np.asarray(gradc[pi, ro:ro + h, co:co + w]),
+            np.asarray(grad0[li]), err_msg=f"grad cell level {li}")
+        np.testing.assert_array_equal(
+            np.asarray(rotc[pi, ro:ro + h, co:co + w]),
+            np.asarray(rot0[li]), err_msg=f"rot cell level {li}")
+
+
+def test_canvas_mode_batched(octave_big):
+    from hessgpu_tpu.ops.pallas.patch import PackingPlan
+
+    gauss, p = octave_big
+    norms = [(p.level_sigma(l) ** 4) for l in range(p.num_levels)]
+    B = 2
+    gb = jnp.stack([gauss, gauss[:, ::-1, :]])
+    h, w = gauss.shape[-2:]
+    nk = len(p.key_levels)
+    kw = dict(threshold=p.threshold, edge_threshold=p.edge_threshold,
+              subpixel=True, interpret=True)
+    pplan = PackingPlan([(h, w)] * nk, pad=24)
+    P = pplan.num_planes
+    gradc = jnp.zeros((B * P, pplan.Hp, pplan.Wp), jnp.float32)
+    rotc = jnp.zeros_like(gradc)
+    maps1, gradc, rotc = detect_octave_pallas(
+        gb, norms, p.key_levels,
+        canvas=(gradc, rotc, pplan.plane_of, pplan.dro, pplan.dco, P),
+        **kw)
+    for b in range(B):
+        maps0, grad0, rot0 = detect_octave_pallas(gb[b], norms,
+                                                  p.key_levels, **kw)
+        for li in range(nk):
+            pi = b * P + pplan.plane_of[li]
+            ro, co = pplan.dro[li], pplan.dco[li]
+            np.testing.assert_array_equal(
+                np.asarray(gradc[pi, ro:ro + h, co:co + w]),
+                np.asarray(grad0[li]), err_msg=f"b{b} grad level {li}")
+        np.testing.assert_array_equal(np.asarray(maps1.valid[b]),
+                                      np.asarray(maps0.valid))
