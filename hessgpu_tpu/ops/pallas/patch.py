@@ -244,7 +244,8 @@ def _aligned_origin(ky, kx, r, pad, roff=0, coff=0):
 # descriptor kernel
 # ---------------------------------------------------------------------------
 
-def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin):
+def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin,
+                        mxu: bool = False):
     """VPU math for one keypoint's 128-d raw descriptor -> (1, 128).
 
     gwin/rwin: (rows, cols) VMEM windows whose [i, j] is the level image at
@@ -293,6 +294,27 @@ def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin):
         gbin.append(jnp.where(ob == b, w1, 0.0)
                     + jnp.where(((ob + 1) & 7) == b, w2, 0.0))
 
+    if mxu:
+        # the 128 cell/bin sums are a tensor contraction
+        # out[cell, bin] = sum_px U[cell, px] * V[bin, px]: one MXU
+        # dot_general replaces 128 full-window VPU reductions (the
+        # dominant per-keypoint cost). f32 MXU accumulation differs from
+        # the VPU sum order by ~1e-6 relative - inside the descriptor's
+        # 0.2-clamp/normalize pipeline that is far below the reference's
+        # own uint8 quantization step.
+        U = []
+        for cyi in range(4):
+            ay = jnp.maximum(0.0, 1.0 - jnp.abs(cv - cyi))
+            way = weight * ay
+            for cxi in range(4):
+                ax = jnp.maximum(0.0, 1.0 - jnp.abs(cu - cxi))
+                U.append(way * ax)
+        Um = jnp.stack(U)              # (16, rows, cols)
+        Vm = jnp.stack(gbin)           # (8, rows, cols)
+        return jax.lax.dot_general(
+            Um, Vm, (((1, 2), (1, 2)), ((), ())),
+            preferred_element_type=jnp.float32)   # (16, 8)
+
     # accumulate the 128 cell/bin sums into a (1, 128) lane-masked vector -
     # Mosaic cannot reshape a (16, 8) vector into 128 lanes
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -315,12 +337,18 @@ def descriptor_pallas(
     stack: PackedStack,
     wsize: int, pad: int,
     window_factor: float = 3.0,
+    mxu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Raw (unnormalized) descriptors for the global keypoint table.
 
     stack: packed pyramid canvas (build_padded_stack).
     Returns (G, 128) float32 (caller applies half-SIFT fold + normalize).
+
+    mxu=True computes each keypoint's 16x8 cell/bin table as one MXU
+    dot_general instead of 128 VPU window reductions (see
+    _descriptor_compute); results differ from the VPU path only by f32
+    summation order (~1e-6 relative).
     """
     G0 = x.shape[0]
     BK = 8   # keypoints per group (one window scratch buffer per slot)
@@ -405,19 +433,29 @@ def descriptor_pallas(
                             kx, ky, spt, th, y0f, x0f,
                             lh[lvl].astype(jnp.float32),
                             lw[lvl].astype(jnp.float32),
-                            gwin[i], rwin[i])
-                        obuf[i:i + 1, :] = desc
+                            gwin[i], rwin[i], mxu=mxu)
+                        if mxu:
+                            obuf[i, :, :] = desc
+                        else:
+                            obuf[i:i + 1, :] = desc
 
                     @pl.when(jnp.logical_not(is_valid))
                     def _(i=i):
-                        obuf[i:i + 1, :] = jnp.zeros((1, 128), jnp.float32)
+                        if mxu:
+                            obuf[i, :, :] = jnp.zeros((16, 8), jnp.float32)
+                        else:
+                            obuf[i:i + 1, :] = jnp.zeros((1, 128),
+                                                         jnp.float32)
 
             @pl.when(any_valid == 0)
             def _():
-                obuf[:, :] = jnp.zeros((BK, 128), jnp.float32)
+                obuf[...] = jnp.zeros_like(obuf)
 
             o0 = pl.multiple_of(g * BK, BK)
-            out_ref[pl.ds(o0, BK), :] = obuf[:, :]
+            if mxu:
+                out_ref[pl.ds(o0, BK), :, :] = obuf[:, :, :]
+            else:
+                out_ref[pl.ds(o0, BK), :] = obuf[:, :]
             return carry
 
         jax.lax.fori_loop(0, NG, group, 0)
@@ -429,12 +467,15 @@ def descriptor_pallas(
             pl.BlockSpec(memory_space=pl.ANY),   # grad stack (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # rot stack
         ],
-        out_specs=pl.BlockSpec((BKP, 128), lambda k, *_: (k, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((BKP, 16, 8), lambda k, *_: (k, 0, 0),
+                                memory_space=pltpu.VMEM) if mxu else
+                   pl.BlockSpec((BKP, 128), lambda k, *_: (k, 0),
+                                memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((BK, rows, cols), jnp.float32),
             pltpu.VMEM((BK, rows, cols), jnp.float32),
-            pltpu.VMEM((BK, 128), jnp.float32),
+            (pltpu.VMEM((BK, 16, 8), jnp.float32) if mxu else
+             pltpu.VMEM((BK, 128), jnp.float32)),
             pltpu.SemaphoreType.DMA((BK, 2)),
         ],
     )
@@ -442,11 +483,14 @@ def descriptor_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, 16, 8) if mxu else (G, 128),
+                                       jnp.float32),
         interpret=interpret,
     )(x, y, sigma, theta, level_id.astype(jnp.int32),
       valid.astype(jnp.int32), stack.level_h, stack.level_w,
       stack.plane, stack.row_off, stack.col_off, stack.grad, stack.rot)
+    if mxu:
+        out = out.reshape(G, 128)   # (cell, bin) row-major == tap order
     return out[:G0]
 
 

@@ -145,3 +145,19 @@ def test_fused_orient_describe_matches_separate(scene):
                                        atol=2e-3, err_msg=f"kp {i}")
         if not valid[i]:
             assert (d_f[i] == 0).all()
+
+
+def test_descriptor_mxu_matches_vpu(scene):
+    """mxu=True (one dot_general per keypoint) vs the VPU reduction path:
+    same taps up to f32 summation order."""
+    grads, rots, kx, ky, ks, kt, lid, valid = scene
+    wsize = descriptor_window_size(float(ks.max()))
+    pad = (wsize - 1) // 2 + 1
+    ps = build_padded_stack(grads, rots, pad)
+    tab = (jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
+           jnp.asarray(kt), jnp.asarray(valid), jnp.asarray(lid))
+    d0 = descriptor_pallas(*tab, ps, wsize=wsize, pad=pad, interpret=True)
+    d1 = descriptor_pallas(*tab, ps, wsize=wsize, pad=pad, mxu=True,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=1e-5, atol=1e-5)
