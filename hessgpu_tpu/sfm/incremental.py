@@ -325,10 +325,49 @@ def reconstruct_sequence(
         _close_loops(rec, feature_sets, matches, min_matches, loop_gap,
                      verbose=verbose)
 
+    # re-triangulate every track from ALL its observations before the
+    # final BA (points born from one weak pair otherwise anchor BA in a
+    # bad basin - the sparse-detection failure mode)
+    _retriangulate(rec)
     rec = run_global_ba(rec, iterations=ba_iterations,
                         huber_delta=huber_delta, prune_threshold=4.0,
                         mesh=mesh)
     return rec
+
+
+def _retriangulate(rec: Reconstruction) -> None:
+    """Multi-view linear re-triangulation of each track (DLT least squares
+    over every observation, current poses); keeps the refit only when it
+    does not worsen the track's mean reprojection error. Mutates
+    rec.points in place."""
+    K = rec.K
+    Ps = [K @ np.hstack([R, t[:, None]]) for R, t in zip(rec.R, rec.t)]
+    pts = np.array(rec.points)   # writable copy (may alias device memory)
+    by_track: Dict[int, list] = {}
+    for (cam, tid, u, v) in rec.obs:
+        by_track.setdefault(tid, []).append((cam, u, v))
+    for tid, obs in by_track.items():
+        if len(obs) < 2:
+            continue
+        A = np.empty((2 * len(obs), 4))
+        for k, (cam, u, v) in enumerate(obs):
+            P = Ps[cam]
+            A[2 * k] = u * P[2] - P[0]
+            A[2 * k + 1] = v * P[2] - P[1]
+        sol, *_ = np.linalg.lstsq(A[:, :3], -A[:, 3], rcond=None)
+
+        def mean_err(X):
+            e = 0.0
+            for (cam, u, v) in obs:
+                pr = Ps[cam][:, :3] @ X + Ps[cam][:, 3]
+                if pr[2] <= 1e-9:
+                    return np.inf
+                e += np.hypot(pr[0] / pr[2] - u, pr[1] / pr[2] - v)
+            return e / len(obs)
+
+        if mean_err(sol) <= mean_err(pts[tid]):
+            pts[tid] = sol
+    rec.points = pts
 
 
 def _close_loops(rec: Reconstruction, feature_sets, matches, min_matches,
