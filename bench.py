@@ -7,6 +7,7 @@ end-to-end frames/s the reference repo publishes; see BASELINE.md).
 """
 
 import json
+import signal
 import sys
 import time
 
@@ -16,10 +17,26 @@ REFERENCE_HZ = 14.3  # doc/statistics.pdf Exp #1, new packed, ~3082 features
 BATCH = 16  # batched pipeline is flat in B; throughput plateaus ~B>=8
 WARMUP = 2
 ITERS = 8
+INIT_TIMEOUT_S = 900  # tunneled-TPU init can hang indefinitely when the
+                      # axon tunnel is down; fail fast with a clear message
+                      # instead of eating the caller's whole timeout
+
+
+def _init_deadline(_sig, _frm):
+    print(json.dumps({"error": "device init exceeded %ds - TPU tunnel "
+                               "unavailable" % INIT_TIMEOUT_S}))
+    sys.stdout.flush()
+    raise SystemExit(3)
 
 
 def main():
     import jax
+
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _init_deadline)
+        signal.alarm(INIT_TIMEOUT_S)
+    jax.devices()
+    signal.alarm(0)
     import jax.numpy as jnp
 
     from hessgpu_tpu.config import SiftConfig

@@ -127,10 +127,20 @@ class SiftMatcher:
         """Returns (M, 2) int array of (index1, index2) pairs."""
         return self._run(distmax, ratiomax, mutual_best, gate=None)
 
-    def get_guided_sift_match(self, H: np.ndarray, F: np.ndarray,
+    def get_guided_sift_match(self, H: np.ndarray = None,
+                              F: np.ndarray = None,
                               distmax: float = 0.7, ratiomax: float = 0.8,
                               hdistmax: float = 32.0, fdistmax: float = 16.0,
                               mutual_best: bool = True) -> np.ndarray:
+        """Either matrix may be None to skip its gate: the reference
+        substitutes identity with a 1e20 threshold (SiftMatch.cpp:663-675);
+        both None degrades to plain matching."""
+        if H is None and F is None:
+            return self.get_sift_match(distmax, ratiomax, mutual_best)
+        if H is None:
+            H, hdistmax = np.eye(3, dtype=np.float32), 1.0e20
+        if F is None:
+            F, fdistmax = np.eye(3, dtype=np.float32), 1.0e20
         assert self._loc[0] is not None and self._loc[1] is not None, \
             "guided matching needs set_feature_location for both images"
         gate = _guided_gate(

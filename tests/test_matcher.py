@@ -111,3 +111,29 @@ def test_guided_match_end_to_end(rng):
     # tighten the homography gate so nothing passes
     got = m.get_guided_sift_match(H, F, hdistmax=0.5, fdistmax=100.0)
     assert len(got) == 0
+
+
+def test_guided_match_none_matrices(rng):
+    """None H/F skip their gate like the reference (SiftMatch.cpp:663-675):
+    identity + 1e20 threshold; both None degrades to plain matching."""
+    d = _unit_desc(rng, 16)
+    loc = rng.rand(16, 2).astype(np.float32) * 100
+    m = SiftMatcher()
+    m.set_descriptors(0, d)
+    m.set_descriptors(1, d)
+    m.set_feature_location(0, loc)
+    m.set_feature_location(1, loc + 1.0)
+    H = np.eye(3, dtype=np.float32)
+    # F=None: only the homography gates
+    got = m.get_guided_sift_match(H=H, F=None, hdistmax=5.0)
+    assert len(got) == 16
+    got = m.get_guided_sift_match(H=H, F=None, hdistmax=0.5)
+    assert len(got) == 0
+    # H=None: only F gates (translation epipolar geometry)
+    F = np.array([[0, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+    got = m.get_guided_sift_match(H=None, F=F, fdistmax=100.0)
+    assert len(got) == 16
+    # both None == plain match
+    got = m.get_guided_sift_match()
+    plain = m.get_sift_match()
+    np.testing.assert_array_equal(got, plain)
