@@ -7,8 +7,9 @@ end-to-end frames/s the reference repo publishes; see BASELINE.md).
 """
 
 import json
-import signal
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -22,21 +23,24 @@ INIT_TIMEOUT_S = 900  # tunneled-TPU init can hang indefinitely when the
                       # instead of eating the caller's whole timeout
 
 
-def _init_deadline(_sig, _frm):
-    print(json.dumps({"error": "device init exceeded %ds - TPU tunnel "
-                               "unavailable" % INIT_TIMEOUT_S}))
-    sys.stdout.flush()
-    raise SystemExit(3)
+def _watchdog(done: threading.Event):
+    # a thread, not SIGALRM: the hang is inside one native PJRT call that
+    # never returns to the interpreter, so a Python signal handler would
+    # be queued forever; os._exit works from any thread
+    if not done.wait(INIT_TIMEOUT_S):
+        print(json.dumps({"error": "device init exceeded %ds - TPU tunnel "
+                                   "unavailable" % INIT_TIMEOUT_S}))
+        sys.stdout.flush()
+        os._exit(3)
 
 
 def main():
     import jax
 
-    if hasattr(signal, "SIGALRM"):
-        signal.signal(signal.SIGALRM, _init_deadline)
-        signal.alarm(INIT_TIMEOUT_S)
+    done = threading.Event()
+    threading.Thread(target=_watchdog, args=(done,), daemon=True).start()
     jax.devices()
-    signal.alarm(0)
+    done.set()
     import jax.numpy as jnp
 
     from hessgpu_tpu.config import SiftConfig

@@ -43,10 +43,11 @@ PER_DEVICE_B = 4
 WARMUP = 1
 ITERS = 3
 
-COLLECTIVE_OPS = ("all-reduce", "all-gather", "all-to-all",
-                  "collective-permute", "reduce-scatter",
-                  "all_reduce", "all_gather", "all_to_all",
-                  "collective_permute", "reduce_scatter", "psum")
+# matched as HLO op lines ("  %x = all-reduce(...)" / "x = f32[...] all-reduce("),
+# not bare substrings -- metadata/source-path strings can contain the words
+COLLECTIVE_RE = (r"=\s*(\w+\[[^\]]*\]\s+)?"
+                 r"(all-reduce|all-gather|all-to-all|collective-permute|"
+                 r"reduce-scatter)\b")
 
 
 def main():
@@ -94,8 +95,9 @@ def main():
                                    out_specs=out_spec))
         batch = jax.device_put(batch, NamedSharding(mesh, spec))
         if n == max(sizes):
+            import re
             hlo = fn.lower(batch).compile().as_text()
-            comm_free = not any(op in hlo for op in COLLECTIVE_OPS)
+            comm_free = re.search(COLLECTIVE_RE, hlo) is None
         for _ in range(WARMUP):
             jax.block_until_ready(fn(batch).valid)
         t0 = time.perf_counter()

@@ -108,6 +108,10 @@ def compact_mask(valid: jnp.ndarray, values: Sequence[jnp.ndarray], capacity: in
     values: arrays shaped like valid, gathered alongside.
     Returns (count, [compacted values...], compacted_valid) where each output
     has shape (capacity,).
+
+    This is the readable reference twin: production paths use
+    compact_sorted (payloads ride one variadic sort instead of per-field
+    gathers), and tests/test_compaction.py pins the two equivalent.
     """
     src, slot_valid, count = compact_indices(valid, capacity)
     outs = [val.reshape(-1)[src] for val in values]

@@ -184,7 +184,10 @@ def detect_octave_pallas(
     BRD = 32
     nblk = pl.cdiv(H, BRD)
     BRH = BRD + 8           # 2-row halos each side, rounded to sublanes
-    Wp = (W + 2 + 2 + 127) // 128 * 128
+    Wc = (W + 127) // 128 * 128   # canvas write width (lane-aligned)
+    # buffer width: canvas mode reads gradient slices at width Wc starting
+    # at col 3, so guarantee Wc + 4 columns even when W is not lane-aligned
+    Wp = (max(W, Wc) + 2 + 2 + 127) // 128 * 128
     p_lo = key_levels[0] - 1
     NP = key_levels[-1] + 2 - p_lo    # planes spanned by all 3x3x3 tests
 
@@ -199,7 +202,6 @@ def detect_octave_pallas(
         plane_ids = [int(v) for v in plane_ids]
         dros = [int(v) for v in dros]
         dcos = [int(v) for v in dcos]
-        Wc = (W + 127) // 128 * 128   # write width (margin junk is masked)
 
     def kernel(g_hbm, *refs):
         if canvas is None:
@@ -346,10 +348,16 @@ def detect_octave_pallas(
             ds_ref[0, li, :, :] = dssub
             type_ref[0, li, :, :] = ftype
 
-            # gradient/rotation of the Gaussian at this key level
-            gup = gl[1:1 + BRD, 2:2 + W]
-            gdown = gl[3:3 + BRD, 2:2 + W]
-            dxg = gright - gleft
+            # gradient/rotation of the Gaussian at this key level. Canvas
+            # mode computes at the full lane-aligned write width Wc >= W:
+            # cols [W, Wc) read edge-padded Gaussian data, so the scratch
+            # (and hence the canvas margin it DMAs to) holds finite junk,
+            # never uninitialized VMEM - NaN there would poison descriptor
+            # windows that reach the margin (patch.py margin contract)
+            GW = W if canvas is None else Wc
+            gup = gl[1:1 + BRD, 2:2 + GW]
+            gdown = gl[3:3 + BRD, 2:2 + GW]
+            dxg = gl[2:2 + BRD, 3:3 + GW] - gl[2:2 + BRD, 1:1 + GW]
             dyg = gdown - gup
             mag = 0.5 * jnp.sqrt(dxg * dxg + dyg * dyg)
             rotv = jnp.where(mag == 0.0, 0.0, _atan2(dyg, dxg))
@@ -357,8 +365,8 @@ def detect_octave_pallas(
                 grad_ref[0, li, :, :] = mag
                 rot_ref[0, li, :, :] = rotv
             else:
-                gscr[li, :, :W] = mag
-                rscr[li, :, :W] = rotv
+                gscr[li, :, :] = mag
+                rscr[li, :, :] = rotv
 
         if canvas is not None:
             # one DMA per level/map straight into the canvas cell (started

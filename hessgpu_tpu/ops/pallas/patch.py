@@ -80,12 +80,15 @@ class PackingPlan:
     def __init__(self, shapes: Sequence[tuple], pad: int):
         L = len(shapes)
         pad8 = (pad + 7) // 8 * 8
-        pad128 = 128
+        # left margin must cover the window radius (reads start at
+        # dco + kx - r, r <= pad) AND stay a multiple of 128 so the
+        # detect kernel's canvas DMA origins are lane-aligned
+        pad128 = max(128, (pad + 127) // 128 * 128)
         cells = []
         for (h, w) in shapes:
             # rows: data at pad8, detect writes overshoot <= 31 rows,
-            # window reads reach ~pad below the data; cols: data at 128,
-            # writes overshoot < 128, window reads reach ~pad + 256
+            # window reads reach ~pad below the data; cols: data at
+            # pad128, writes overshoot < 128, window reads reach ~pad + 256
             ch = (h + pad8 + pad + 40 + 7) // 8 * 8
             cw = (w + pad128 + pad + 256 + 127) // 128 * 128
             cells.append((ch, cw))

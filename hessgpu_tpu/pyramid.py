@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -276,6 +276,65 @@ def _level_trunc_mask(table: GlobalTable, k: int, num_levels: int,
     return keep_level[table.level_id]
 
 
+def _canvas_setup(octaves, nkey: int, pad: int, batch: Optional[int] = None):
+    """PackingPlan + zeroed grad/rot canvas planes for the detect kernel's
+    direct writes (shared by the single and batched pipelines)."""
+    from .ops.pallas.patch import PackingPlan
+
+    shapes = []
+    for gauss_oct in octaves:
+        shapes += [gauss_oct.shape[-2:]] * nkey
+    pplan = PackingPlan(shapes, pad)
+    n_planes = pplan.num_planes * (1 if batch is None else batch)
+    gradc = jnp.zeros((n_planes, pplan.Hp, pplan.Wp), jnp.float32)
+    return pplan, gradc, jnp.zeros_like(gradc)
+
+
+def _detect_octave_canvas(gauss_oct, o: int, nkey: int, p, cfg, pplan,
+                          gradc, rotc):
+    """Kernel-path detection with grad/rot DMAed into the canvas cells."""
+    from .ops.pallas.detect import detect_octave_pallas
+
+    lids = [o * nkey + li for li in range(nkey)]
+    norms = [(p.level_sigma(l) ** 4)
+             for l in range(p.level_min, p.level_max + 1)]
+    return detect_octave_pallas(
+        gauss_oct, norms, p.key_levels,
+        threshold=p.threshold,
+        edge_threshold=p.edge_threshold,
+        subpixel=cfg.subpixel,
+        darkness_adaption=cfg.darkness_adaption,
+        canvas=(gradc, rotc,
+                [pplan.plane_of[l] for l in lids],
+                [pplan.dro[l] for l in lids],
+                [pplan.dco[l] for l in lids],
+                pplan.num_planes))
+
+
+def _place_maps_in_canvas(pplan, o: int, nkey: int, grad, rot, gradc, rotc,
+                          batch: Optional[int] = None):
+    """Small (non-kernel) octaves: place jnp grad/rot maps into their
+    canvas cells with dynamic_update_slice (vmapped when batched)."""
+    if batch is None:
+        for li in range(nkey):
+            l = o * nkey + li
+            org = (pplan.plane_of[l], pplan.dro[l], pplan.dco[l])
+            gradc = jax.lax.dynamic_update_slice(gradc, grad[li][None], org)
+            rotc = jax.lax.dynamic_update_slice(rotc, rot[li][None], org)
+        return gradc, rotc
+    P = pplan.num_planes
+    g4 = gradc.reshape(batch, P, pplan.Hp, pplan.Wp)
+    r4 = rotc.reshape(batch, P, pplan.Hp, pplan.Wp)
+    for li in range(nkey):
+        l = o * nkey + li
+        org = (pplan.plane_of[l], pplan.dro[l], pplan.dco[l])
+        dus = lambda c, g: jax.lax.dynamic_update_slice(c, g[None], org)
+        g4 = jax.vmap(dus)(g4, grad[:, li])
+        r4 = jax.vmap(dus)(r4, rot[:, li])
+    return (g4.reshape(batch * P, pplan.Hp, pplan.Wp),
+            r4.reshape(batch * P, pplan.Hp, pplan.Wp))
+
+
 def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> FeatureTable:
     """Full detect+describe for one grayscale image (static shapes).
 
@@ -312,14 +371,8 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     # blocks straight into the PackedStack canvas (see run_pipeline_batched)
     use_canvas = use_pallas and cfg.detector == "hessian"
     if use_canvas:
-        from .ops.pallas.patch import PackedStack, PackingPlan
-        shapes = []
-        for gauss_oct in octaves:
-            shapes += [gauss_oct.shape[-2:]] * NKEY
-        pplan = PackingPlan(shapes, pad)
-        gradc = jnp.zeros((pplan.num_planes, pplan.Hp, pplan.Wp),
-                          jnp.float32)
-        rotc = jnp.zeros_like(gradc)
+        from .ops.pallas.patch import PackedStack
+        pplan, gradc, rotc = _canvas_setup(octaves, NKEY, pad)
 
     # ---- detection + per-level compaction (cheap scatters) -------------------
     all_lists: List[FeatureList] = []
@@ -331,32 +384,13 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
         kernel_oct = use_canvas and min(oh, ow) >= 192
         with jax.named_scope("DETECT_KEYPOINTS"):
             if kernel_oct:
-                from .ops.pallas.detect import detect_octave_pallas
-                lids = [o * NKEY + li for li in range(NKEY)]
-                norms = [(p.level_sigma(l) ** 4)
-                         for l in range(p.level_min, p.level_max + 1)]
-                maps, gradc, rotc = detect_octave_pallas(
-                    gauss_oct, norms, p.key_levels,
-                    threshold=p.threshold,
-                    edge_threshold=p.edge_threshold,
-                    subpixel=cfg.subpixel,
-                    darkness_adaption=cfg.darkness_adaption,
-                    canvas=(gradc, rotc,
-                            [pplan.plane_of[l] for l in lids],
-                            [pplan.dro[l] for l in lids],
-                            [pplan.dco[l] for l in lids],
-                            pplan.num_planes))
+                maps, gradc, rotc = _detect_octave_canvas(
+                    gauss_oct, o, NKEY, p, cfg, pplan, gradc, rotc)
             else:
                 maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
                 if use_canvas:
-                    for li in range(NKEY):
-                        l = o * NKEY + li
-                        org = (pplan.plane_of[l], pplan.dro[l],
-                               pplan.dco[l])
-                        gradc = jax.lax.dynamic_update_slice(
-                            gradc, grad[li][None], org)
-                        rotc = jax.lax.dynamic_update_slice(
-                            rotc, rot[li][None], org)
+                    gradc, rotc = _place_maps_in_canvas(
+                        pplan, o, NKEY, grad, rot, gradc, rotc)
         sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         with jax.named_scope("GENERATE_FEATURE_LIST"):
             # one blocked list per octave ((NK, cap) leaves)
@@ -628,22 +662,15 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     dwin = descriptor_window_size(max_sigma, cfg.descriptor_window_factor)
     pad = (max(owin, dwin) - 1) // 2 + 2
 
-    from .ops.pallas.patch import (PackedStack, PackingPlan,
-                                   build_padded_stack, descriptor_pallas,
-                                   orientation_pallas)
+    from .ops.pallas.patch import (PackedStack, build_padded_stack,
+                                   descriptor_pallas, orientation_pallas)
     # hessian personality: the detect kernel writes gradient/rotation
     # blocks STRAIGHT into the PackedStack canvas cells (no (NK, H, W)
     # intermediates, no pad/concat canvas build - that copy pass cost
     # ~2 ms/batch at B=16)
     use_canvas = cfg.detector == "hessian"
     if use_canvas:
-        shapes = []
-        for gauss_oct in octaves:
-            shapes += [gauss_oct.shape[-2:]] * NKEY
-        pplan = PackingPlan(shapes, pad)
-        P = pplan.num_planes
-        gradc = jnp.zeros((B * P, pplan.Hp, pplan.Wp), jnp.float32)
-        rotc = jnp.zeros_like(gradc)
+        pplan, gradc, rotc = _canvas_setup(octaves, NKEY, pad, batch=B)
 
     all_lists: List[FeatureList] = []
     grads: List[jnp.ndarray] = []
@@ -654,37 +681,14 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
         kernel_oct = (cfg.detector == "hessian" and min(oh, ow) >= 192)
         with jax.named_scope("DETECT_KEYPOINTS"):
             if use_canvas and kernel_oct:
-                from .ops.pallas.detect import detect_octave_pallas
-                lids = [o * NKEY + li for li in range(NKEY)]
-                norms = [(p.level_sigma(l) ** 4)
-                         for l in range(p.level_min, p.level_max + 1)]
-                maps, gradc, rotc = detect_octave_pallas(
-                    gauss_oct, norms, p.key_levels,
-                    threshold=p.threshold,
-                    edge_threshold=p.edge_threshold,
-                    subpixel=cfg.subpixel,
-                    darkness_adaption=cfg.darkness_adaption,
-                    canvas=(gradc, rotc,
-                            [pplan.plane_of[l] for l in lids],
-                            [pplan.dro[l] for l in lids],
-                            [pplan.dco[l] for l in lids], P))
+                maps, gradc, rotc = _detect_octave_canvas(
+                    gauss_oct, o, NKEY, p, cfg, pplan, gradc, rotc)
             else:
                 maps, grad, rot = _detect_octave_batched(gauss_oct, plan,
                                                          cfg)
                 if use_canvas:
-                    # small octaves: place the jnp maps into their cells
-                    g4 = gradc.reshape(B, P, pplan.Hp, pplan.Wp)
-                    r4 = rotc.reshape(B, P, pplan.Hp, pplan.Wp)
-                    for li in range(NKEY):
-                        l = o * NKEY + li
-                        org = (pplan.plane_of[l], pplan.dro[l],
-                               pplan.dco[l])
-                        dus = lambda c, g: jax.lax.dynamic_update_slice(
-                            c, g[None], org)
-                        g4 = jax.vmap(dus)(g4, grad[:, li])
-                        r4 = jax.vmap(dus)(r4, rot[:, li])
-                    gradc = g4.reshape(B * P, pplan.Hp, pplan.Wp)
-                    rotc = r4.reshape(B * P, pplan.Hp, pplan.Wp)
+                    gradc, rotc = _place_maps_in_canvas(
+                        pplan, o, NKEY, grad, rot, gradc, rotc, batch=B)
         sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         cap = plan.level_caps[idx]
         with jax.named_scope("GENERATE_FEATURE_LIST"):

@@ -69,3 +69,32 @@ def test_topk_k_larger_than_count():
     t = _make_table([0.5, 0.4], [0, 0], cap=8)
     out = _recompact(t, _topk_mask(t, 100), 8)
     assert int(out.count()) == 2
+
+
+def test_compact_sorted_equals_compact_mask(rng):
+    """compact_sorted is the production path; compact_mask is the readable
+    oracle - pin them equivalent (flat and batched, under/overflow)."""
+    from hessgpu_tpu.ops.compaction import compact_sorted
+
+    for cap in (8, 64, 500):
+        mask = rng.rand(400) < 0.15
+        vals = np.arange(400, dtype=np.float32) * 0.5
+        lvls = (np.arange(400) % 7).astype(np.int32)
+        cm = compact_mask(jnp.asarray(mask),
+                          [jnp.asarray(vals), jnp.asarray(lvls)], cap)
+        cs = compact_sorted(jnp.asarray(mask),
+                            [jnp.asarray(vals), jnp.asarray(lvls)], cap)
+        assert int(cm[0]) == int(cs[0])
+        for a, b in zip(cm[1], cs[1]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(cm[2]), np.asarray(cs[2]))
+
+    # batched: compact_sorted vectorizes over the leading dim
+    maskb = rng.rand(3, 128) < 0.2
+    valsb = rng.rand(3, 128).astype(np.float32)
+    csb = compact_sorted(jnp.asarray(maskb), [jnp.asarray(valsb)], 32)
+    for b in range(3):
+        cm = compact_mask(jnp.asarray(maskb[b]), [jnp.asarray(valsb[b])], 32)
+        assert int(cm[0]) == int(csb[0][b])
+        np.testing.assert_array_equal(np.asarray(cm[1][0]),
+                                      np.asarray(csb[1][0][b]))

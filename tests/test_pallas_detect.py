@@ -129,3 +129,51 @@ def test_canvas_mode_batched(octave_big):
                 np.asarray(grad0[li]), err_msg=f"b{b} grad level {li}")
         np.testing.assert_array_equal(np.asarray(maps1.valid[b]),
                                       np.asarray(maps0.valid))
+
+
+def test_canvas_mode_nonaligned_width():
+    """W not a multiple of 128 (here 320 -> write width 384): the canvas
+    margin cols [w, Wc) receive computed-on-padded-data junk, which must
+    be FINITE (NaN would poison descriptor windows reaching the margin),
+    and the data region must still match the plain kernel outputs."""
+    from hessgpu_tpu.ops.pallas.patch import PackingPlan
+
+    rng = np.random.RandomState(7)
+    base = jnp.asarray(rng.rand(192, 320).astype(np.float32))
+    p = ScaleSpaceParams()
+    gauss = build_octave_chain(base, p)
+    norms = [(p.level_sigma(l) ** 4) for l in range(p.num_levels)]
+    kw = dict(threshold=p.threshold, edge_threshold=p.edge_threshold,
+              subpixel=True, interpret=True)
+    maps0, grad0, rot0 = detect_octave_pallas(gauss, norms, p.key_levels,
+                                              **kw)
+
+    h, w = gauss.shape[-2:]
+    nk = len(p.key_levels)
+    pplan = PackingPlan([(h, w)] * nk, pad=24)
+    gradc = jnp.zeros((pplan.num_planes, pplan.Hp, pplan.Wp), jnp.float32)
+    rotc = jnp.zeros_like(gradc)
+    maps1, gradc, rotc = detect_octave_pallas(
+        gauss, norms, p.key_levels,
+        canvas=(gradc, rotc, pplan.plane_of, pplan.dro, pplan.dco,
+                pplan.num_planes), **kw)
+
+    wc = (w + 127) // 128 * 128
+    assert wc > w
+    for li in range(nk):
+        pi, ro, co = pplan.plane_of[li], pplan.dro[li], pplan.dco[li]
+        np.testing.assert_array_equal(
+            np.asarray(gradc[pi, ro:ro + h, co:co + w]),
+            np.asarray(grad0[li]), err_msg=f"grad cell level {li}")
+        np.testing.assert_array_equal(
+            np.asarray(rotc[pi, ro:ro + h, co:co + w]),
+            np.asarray(rot0[li]), err_msg=f"rot cell level {li}")
+        # written margin columns: junk allowed, non-finite not
+        assert np.isfinite(
+            np.asarray(gradc[pi, ro:ro + h, co + w:co + wc])).all()
+        assert np.isfinite(
+            np.asarray(rotc[pi, ro:ro + h, co + w:co + wc])).all()
+    for f in maps0._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(maps1, f)),
+                                      np.asarray(getattr(maps0, f)),
+                                      err_msg=f"map field {f}")
