@@ -136,7 +136,12 @@ class SiftConfig:
             elif opt == "-dw":
                 cfg.descriptor_window_factor = float(val())
             elif opt == "-m":
-                cfg.max_orientations = max(1, min(4, int(val())))
+                # like -s, the numeric argument is optional: bare -m means
+                # 2 orientations (SiftGPU.cpp:934-940 "-m <int=2>")
+                if i + 1 < n and not argv[i + 1].startswith("-"):
+                    cfg.max_orientations = max(1, min(4, int(val())))
+                else:
+                    cfg.max_orientations = 2
             elif opt == "-m2p":
                 cfg.max_orientations = 2
             elif opt == "-s":
@@ -147,6 +152,8 @@ class SiftConfig:
                     cfg.subpixel = True
             elif opt == "-ofix":
                 cfg.fixed_orientation = True
+            elif opt == "-ofix-not":
+                cfg.fixed_orientation = False
             elif opt == "-loweo":
                 cfg.lowe_origin = True
             elif opt == "-maxd":

@@ -140,3 +140,14 @@ def test_fail_soft_sets_flag_and_returns_empty(monkeypatch):
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         sift2.run(np.zeros((64, 64), np.float32))
+
+
+def test_parser_m_optional_value_and_ofix_not():
+    """-m without a number means 2 (SiftGPU.cpp:1039-1048 'int mo = 2');
+    -ofix-not undoes -ofix (SiftGPU.cpp -ofix/-ofix-not pair)."""
+    assert SiftConfig.parse_args(["-m"]).max_orientations == 2
+    assert SiftConfig.parse_args(["-m", "-s"]).max_orientations == 2
+    assert SiftConfig.parse_args(["-m", "3"]).max_orientations == 3
+    assert SiftConfig.parse_args(["-m", "9"]).max_orientations == 4
+    cfg = SiftConfig.parse_args(["-ofix", "-ofix-not"])
+    assert not cfg.fixed_orientation
