@@ -155,6 +155,7 @@ def reconstruct_sequence(
     huber_delta: float = 3.0,
     mesh=None,
     verbose: bool = False,
+    resume: Optional[Reconstruction] = None,
 ) -> Optional[Reconstruction]:
     """Incremental SfM over an ordered list of per-image feature dicts
     (the output of HessianSift.run).
@@ -168,6 +169,11 @@ def reconstruct_sequence(
       * loop closure: candidate pairs found by mean-descriptor retrieval
         are verified with a two-view pose and fed as pose-graph edges
         (sfm/posegraph.py), then poses are re-fed to a final BA.
+
+    resume: a checkpointed Reconstruction (sfm.io.load_reconstruction)
+    over a PREFIX of the same sequence: registration continues at view
+    resume.view_ids[-1] + 1 (feature_sets must cover the full sequence;
+    loop closure / re-triangulation / final BA run as usual).
     """
     from ..matcher import SiftMatcher
 
@@ -183,6 +189,17 @@ def reconstruct_sequence(
             match_cache[(a, b)] = _match_pair(feature_sets[a],
                                              feature_sets[b], matcher)
         return match_cache[(a, b)]
+
+    if resume is not None:
+        rec = resume
+        if rec.view_ids is None:
+            rec.view_ids = list(range(len(rec.R)))
+        return _register_remaining(
+            rec, feature_sets, matches, K, rec.view_ids[-1] + 1, n_img,
+            min_matches=min_matches, ba_every=ba_every,
+            ba_iterations=ba_iterations, lookback=lookback,
+            loop_closure=loop_closure, loop_gap=loop_gap,
+            huber_delta=huber_delta, mesh=mesh, verbose=verbose)
 
     # ---- initialize from the first strong adjacent pair ------------------
     init_b = None
@@ -220,9 +237,24 @@ def reconstruct_sequence(
         rec.obs.append((0, tid, float(p1[mi, 0]), float(p1[mi, 1])))
         rec.obs.append((1, tid, float(p2[mi, 0]), float(p2[mi, 1])))
 
+    return _register_remaining(
+        rec, feature_sets, matches, K, init_b + 1, n_img,
+        min_matches=min_matches, ba_every=ba_every,
+        ba_iterations=ba_iterations, lookback=lookback,
+        loop_closure=loop_closure, loop_gap=loop_gap,
+        huber_delta=huber_delta, mesh=mesh, verbose=verbose)
+
+
+def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
+                        start: int, n_img: int, *, min_matches, ba_every,
+                        ba_iterations, lookback, loop_closure, loop_gap,
+                        huber_delta, mesh, verbose) -> Reconstruction:
+    """Register views [start, n_img) into rec (lookback PnP; skip, don't
+    break), then loop closure, re-triangulation, and the final BA. Shared
+    by the fresh and checkpoint-resume paths of reconstruct_sequence."""
     # ---- register remaining views (lookback; skip, don't break) ----------
     skipped = 0
-    for i in range(init_b + 1, n_img):
+    for i in range(start, n_img):
         # 2D-3D correspondences through tracks of the last `lookback`
         # registered views (nearest first so its matches win duplicates)
         pts3d, pts2d, new_pairs = [], [], []

@@ -121,3 +121,35 @@ def test_incremental_sfm_loop_closure(rng):
     est = camera_centers(rec.R, rec.t)
     gt = camera_centers(Rs, ts)
     assert ate_rmse(est, gt) < 0.05
+
+
+def test_checkpoint_resume_matches_full_run(rng, tmp_path):
+    """Reconstruct a prefix, snapshot (sfm.io), reload, resume over the
+    full sequence: trajectory accuracy must match the one-shot run."""
+    from hessgpu_tpu.sfm.io import load_reconstruction, save_reconstruction
+
+    K, Rs, ts, X, feats = _synthetic_sequence(rng, n_views=8)
+    gt_centers = camera_centers(Rs, ts)
+
+    full = reconstruct_sequence(feats, K, ba_every=2, verbose=False)
+
+    prefix = reconstruct_sequence(feats[:5], K, ba_every=2, verbose=False,
+                                  loop_closure=False)
+    p = str(tmp_path / "ckpt.npz")
+    save_reconstruction(p, prefix)
+    loaded = load_reconstruction(p)
+    # round trip is exact
+    np.testing.assert_array_equal(np.stack(prefix.R), np.stack(loaded.R))
+    np.testing.assert_array_equal(prefix.points, loaded.points)
+    assert loaded.track_of == prefix.track_of
+    assert loaded.obs == prefix.obs
+    assert loaded.view_ids == prefix.view_ids
+
+    resumed = reconstruct_sequence(feats, K, ba_every=2, verbose=False,
+                                   resume=loaded)
+    assert resumed.num_cameras == full.num_cameras == 8
+
+    for rec in (full, resumed):
+        est = camera_centers(rec.R, rec.t)
+        ate = ate_rmse(est, gt_centers[rec.view_ids])
+        assert ate < 0.05, f"ATE {ate}"
