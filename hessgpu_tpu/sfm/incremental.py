@@ -77,6 +77,51 @@ def _match_pair(feats1, feats2, matcher, type_aware=True):
     return np.stack([rows, rm[rows]], 1) if len(rows) else np.zeros((0, 2), int)
 
 
+def _guided_match_pair(feats1, feats2, R1, t1, R2, t2, K,
+                       type_aware=True, fdistmax=16.0, ratiomax=0.9):
+    """Epipolar-guided re-matching once both poses are known.
+
+    The fundamental matrix from the relative pose gates candidate pairs
+    (matcher._guided_gate Sampson test, same kernel as the facade's
+    GetGuidedSiftMatch), which lets the ratio test relax from 0.8 to
+    `ratiomax`: matches the plain ratio test killed on repetitive texture
+    come back wherever the geometry vouches for them - more tracks for
+    triangulation at no detection cost (the track-starved failure mode of
+    sparse detections)."""
+    import jax.numpy as jnp
+
+    from ..matcher import _guided_gate, _match_core, quantize_descriptors
+
+    R_rel = R2 @ R1.T
+    t_rel = t2 - R_rel @ t1
+    tx = np.array([[0, -t_rel[2], t_rel[1]],
+                   [t_rel[2], 0, -t_rel[0]],
+                   [-t_rel[1], t_rel[0], 0]])
+    Kinv = np.linalg.inv(K)
+    F = Kinv.T @ (tx @ R_rel) @ Kinv
+    scale = np.abs(F).max()
+    if not np.isfinite(scale) or scale < 1e-12:
+        return np.zeros((0, 2), int)   # degenerate (zero baseline)
+    F = F / scale
+
+    loc1 = jnp.asarray(np.stack([feats1["x"], feats1["y"]], 1), jnp.float32)
+    loc2 = jnp.asarray(np.stack([feats2["x"], feats2["y"]], 1), jnp.float32)
+    gate = _guided_gate(loc1, loc2, jnp.eye(3, dtype=jnp.float32), 1.0e20,
+                        jnp.asarray(F, jnp.float32), fdistmax)
+    if type_aware and "ftype" in feats1:
+        from .twoview import type_aware_match_mask
+        gate = gate & type_aware_match_mask(jnp.asarray(feats1["ftype"]),
+                                            jnp.asarray(feats2["ftype"]))
+    d1 = quantize_descriptors(feats1["desc"])
+    d2 = quantize_descriptors(feats2["desc"])
+    rm = _match_core(jnp.asarray(d1), jnp.asarray(d2),
+                     jnp.ones(len(d1), bool), jnp.ones(len(d2), bool),
+                     0.7, ratiomax, mutual_best=True, gate=gate)
+    rm = np.asarray(rm)
+    rows = np.nonzero(rm >= 0)[0]
+    return np.stack([rows, rm[rows]], 1) if len(rows) else np.zeros((0, 2), int)
+
+
 def _pnp_register(K, pts3d, pts2d, threshold=8.0, seed=0):
     """Register a camera from 3D-2D correspondences.
 
@@ -156,6 +201,7 @@ def reconstruct_sequence(
     mesh=None,
     verbose: bool = False,
     resume: Optional[Reconstruction] = None,
+    guided_rematch: bool = True,
 ) -> Optional[Reconstruction]:
     """Incremental SfM over an ordered list of per-image feature dicts
     (the output of HessianSift.run).
@@ -199,7 +245,8 @@ def reconstruct_sequence(
             min_matches=min_matches, ba_every=ba_every,
             ba_iterations=ba_iterations, lookback=lookback,
             loop_closure=loop_closure, loop_gap=loop_gap,
-            huber_delta=huber_delta, mesh=mesh, verbose=verbose)
+            huber_delta=huber_delta, mesh=mesh, verbose=verbose,
+            guided_rematch=guided_rematch)
 
     # ---- initialize from the first strong adjacent pair ------------------
     init_b = None
@@ -242,13 +289,15 @@ def reconstruct_sequence(
         min_matches=min_matches, ba_every=ba_every,
         ba_iterations=ba_iterations, lookback=lookback,
         loop_closure=loop_closure, loop_gap=loop_gap,
-        huber_delta=huber_delta, mesh=mesh, verbose=verbose)
+        huber_delta=huber_delta, mesh=mesh, verbose=verbose,
+        guided_rematch=guided_rematch)
 
 
 def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
                         start: int, n_img: int, *, min_matches, ba_every,
                         ba_iterations, lookback, loop_closure, loop_gap,
-                        huber_delta, mesh, verbose) -> Reconstruction:
+                        huber_delta, mesh, verbose,
+                        guided_rematch=True) -> Reconstruction:
     """Register views [start, n_img) into rec (lookback PnP; skip, don't
     break), then loop closure, re-triangulation, and the final BA. Shared
     by the fresh and checkpoint-resume paths of reconstruct_sequence."""
@@ -307,6 +356,17 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
             P_prev = K @ np.hstack([rec.R[cam_prev],
                                     rec.t[cam_prev][:, None]])
             mm = matches(v_prev, i)
+            if guided_rematch:
+                gm = _guided_match_pair(
+                    feature_sets[v_prev], feature_sets[i],
+                    rec.R[cam_prev], rec.t[cam_prev], Ri, ti, K)
+                if len(gm):
+                    have = {(int(a), int(b)) for a, b in mm}
+                    extra = [p for p in gm
+                             if (int(p[0]), int(p[1])) not in have]
+                    if extra:
+                        mm = np.vstack([mm.reshape(-1, 2),
+                                        np.asarray(extra)])
             fresh = [(fp, fc) for fp, fc in mm
                      if (v_prev, int(fp)) not in rec.track_of
                      and (i, int(fc)) not in rec.track_of]
