@@ -403,17 +403,58 @@ void ServeConnection(int fd, PyBackend* backend) {
 
 }  // namespace
 
+// -test / -test_remote loopback self-tests (reference server.cpp:31-60):
+// the binary already embeds CPython, so the test client is the Python
+// RemoteSift driven in-process - it spawns this same binary as the local
+// server (-test) or connects to a named host (-test_remote).
+static int RunSelfTest(const char* host, int port, const std::string& params) {
+  Py_Initialize();
+  PyRun_SimpleString(
+      "import os, sys\n"
+      "sys.path.insert(0, os.getcwd())\n"
+      "root = os.path.dirname(os.path.dirname(os.path.abspath('" __FILE__
+      "')))\n"
+      "sys.path.insert(0, root)\n");
+  std::string code =
+      "from hessgpu_tpu.parallel.client import RemoteSift\n"
+      "host = " + (host ? ("'" + std::string(host) + "'") : std::string("None")) + "\n"
+      "port = " + std::to_string(port) + "\n"
+      "params = '''" + params + "'''\n"
+      "with RemoteSift(host=host, port=port) as r:\n"
+      "    assert r.initialize(), 'init failed'\n"
+      "    if params.strip(): r.parse_param(params.strip())\n"
+      "    for img in ('/root/reference/data/800-1.jpg',\n"
+      "                '/root/reference/data/800-2.jpg'):\n"
+      "        ok = r.run_sift(img)\n"
+      "        n = r.get_feature_count()\n"
+      "        print('%s: ok=%s features=%d' % (img, ok, n), flush=True)\n"
+      "        assert ok and n > 0\n"
+      "print('hess_server self-test passed', flush=True)\n";
+  int rc = PyRun_SimpleString(code.c_str());
+  Py_Finalize();
+  return rc == 0 ? 0 : 1;
+}
+
 int main(int argc, char** argv) {
   int port = kDefaultPort;
   std::string params;
+  bool test_local = false;
+  const char* test_host = nullptr;
   for (int i = 1; i < argc; ++i) {
     if (std::strcmp(argv[i], "-server") == 0 && i + 1 < argc) {
+      port = std::atoi(argv[++i]);
+    } else if (std::strcmp(argv[i], "-test") == 0) {
+      test_local = true;
+    } else if (std::strcmp(argv[i], "-test_remote") == 0 && i + 2 < argc) {
+      test_host = argv[++i];
       port = std::atoi(argv[++i]);
     } else {
       if (!params.empty()) params += ' ';
       params += argv[i];
     }
   }
+  if (test_local || test_host)
+    return RunSelfTest(test_host, port, params);
 
   Py_Initialize();
   // make the repo importable when running from a checkout

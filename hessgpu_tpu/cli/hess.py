@@ -64,8 +64,42 @@ def parse_cli(argv: List[str]):
     return images, out_path, do_time, do_speed, dump_dir, rest
 
 
+HELP = """hess - Hessian/SIFT detect+describe (reference SiftGPU.cpp:789-846 flags)
+-h -help            : this message
+-i <strings>        : input image file(s)
+-il <string>        : image list file
+-o <string>         : save SIFT features (single input image)
+-f <float>          : filter width factor (default 4.0)
+-w <float>          : orientation window factor (default 2.0)
+-dw <float>         : descriptor grid size factor (default 3.0)
+-fo <int>           : first octave (default 0)
+-no <int>           : max number of octaves
+-d <int>            : levels per octave (default 3)
+-t <float>          : response threshold (default 0.02/3)
+-e <float>          : edge threshold (default 10.0)
+-m <int=2>          : max orientations per keypoint (1..4)
+-s <int=1>          : subpixel/subscale localization
+-da                 : darkness adaption (hessian personality)
+-sd                 : skip descriptors
+-unn                : unnormalized descriptors
+-b / -bvlf          : binary / vlfeat output format
+-half               : half SIFT (fold opposite gradients)
+-tc[1|2|3] <int>    : limit feature count (3 truncation methods)
+-topk <int>         : keep K strongest distinct keypoints
+-maxd <int>         : max working dimension
+-loweo              : (0,0) at center of top-left pixel
+-ofix / -ofix-not   : fixed zero orientation on/off
+-v <int>            : verbosity (per-level feature counts at >=2)
+-time               : per-stage CSV to <img>.timings
+-speed              : 2x30-rerun speed protocol
+--dump-intermediates <dir> : viewer views as PNGs"""
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    if any(a in ("-h", "-help", "--help") for a in argv):
+        print(HELP)
+        return 0
     from hessgpu_tpu import HessianSift, SiftConfig
 
     images, out_path, do_time, do_speed, dump_dir, rest = parse_cli(argv)

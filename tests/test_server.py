@@ -131,3 +131,14 @@ def test_server_runsift_rerun_and_set_keypoint(remote, gray_small):
     # the pending list is consumed: the next RUNSIFT is a full detection
     assert remote.run_sift_current()
     assert remote.get_feature_count() == n0
+
+
+def test_server_selftest_flag():
+    """`hess_server -test` runs the reference's loopback self-test
+    (server.cpp:31-60): spawn itself as a local server, detect on the two
+    800-* images through the wire protocol, exit 0."""
+    import subprocess
+    r = subprocess.run([SERVER_BIN, "-test"], env=_cpu_env(),
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "self-test passed" in r.stdout
