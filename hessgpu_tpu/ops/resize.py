@@ -44,10 +44,28 @@ def downsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:
 
 
 def upsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:
-    """Bilinear upsample by 2**log_scale (for negative first octave)."""
-    s = 1 << log_scale
-    h, w = x.shape[-2], x.shape[-1]
-    return jax.image.resize(x, x.shape[:-2] + (h * s, w * s), method="bilinear")
+    """Bilinear upsample by 2**log_scale (for negative first octave).
+
+    Corner-aligned like the reference UpsampleKernel
+    (ProgramCU.cu:233-310): dst pixel (2r, 2c) copies src (r, c) exactly
+    and odd rows/cols are midpoint blends (src = dst / 2, clamped at the
+    edges). jax.image.resize's bilinear uses the half-pixel convention
+    (src = dst / 2 - 0.25), which shifted every feature derived from the
+    upsampled octave by a constant +0.25 px vs the reference's golden
+    output (measured on doc/evaluation/box.siftgpu).
+    """
+    for _ in range(log_scale):
+        h, w = x.shape[-2], x.shape[-1]
+        r = jnp.concatenate([x[..., :, 1:], x[..., :, -1:]], axis=-1)
+        d = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+        dr = jnp.concatenate([d[..., :, 1:], d[..., :, -1:]], axis=-1)
+        top = jnp.stack([x, 0.5 * (x + r)],
+                        axis=-1).reshape(*x.shape[:-2], h, 2 * w)
+        bot = jnp.stack([0.5 * (x + d), 0.25 * (x + r + d + dr)],
+                        axis=-1).reshape(*x.shape[:-2], h, 2 * w)
+        x = jnp.stack([top, bot], axis=-2).reshape(
+            *x.shape[:-2], 2 * h, 2 * w)
+    return x
 
 
 def rgb_to_gray(x: jnp.ndarray) -> jnp.ndarray:

@@ -30,8 +30,9 @@ def ours():
 
 
 def test_feature_count_comparable(golden, ours):
+    # measured 678 vs 673 after the corner-aligned upsample fix
     ratio = ours["x"].shape[0] / golden["x"].shape[0]
-    assert 0.6 < ratio < 1.8, ratio
+    assert 0.95 < ratio < 1.1, ratio
 
 
 def test_repeatability_vs_golden(golden, ours):
@@ -42,11 +43,14 @@ def test_repeatability_vs_golden(golden, ours):
         np.minimum(gs[:, None] + 1e-9, osg[None, :] + 1e-9)
     strict = ((d2 < 4.0) & (sr < 1.5)).any(axis=1).mean()
     loose = ((d2 < 9.0) & (sr < 2.0)).any(axis=1).mean()
-    # measured 85.7% strict / 87.7% loose after the DoG sigma-level fix
-    # (key_level_sigma matches PyramidCU.cpp:1829-1846 for both
-    # personalities); slack below covers backend float noise only
-    assert strict > 0.82, f"strict repeatability {strict}"
-    assert loose > 0.84, f"loose repeatability {loose}"
+    # measured 99.55% strict after the corner-aligned upsample fix
+    # (ops/resize.upsample docstring): 670/673 golden keypoints match to
+    # <0.1 px. The golden's sigma ladder predates the reference's own
+    # "bug fix 9/12/2007" (SiftGPU.cpp:1425) - our labels follow the
+    # current reference formula and still pass the 1.5x scale gate.
+    # Slack below covers backend float noise only.
+    assert strict > 0.97, f"strict repeatability {strict}"
+    assert loose > 0.97, f"loose repeatability {loose}"
 
 
 def test_descriptor_agreement(golden, ours):
@@ -61,5 +65,5 @@ def test_descriptor_agreement(golden, ours):
     gd = gd / (np.linalg.norm(gd, axis=1, keepdims=True) + 1e-9)
     od = od / (np.linalg.norm(od, axis=1, keepdims=True) + 1e-9)
     cos = (gd * od).sum(1)
-    # measured 0.978 after the sigma-level fix (was 0.75-gated before)
-    assert np.median(cos) > 0.9, np.median(cos)
+    # measured 0.982 over 670 <1px matches after the upsample fix
+    assert np.median(cos) > 0.95, np.median(cos)
