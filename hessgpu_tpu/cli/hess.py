@@ -80,6 +80,8 @@ HELP = """hess - Hessian/SIFT detect+describe (reference SiftGPU.cpp:789-846 fla
 -m <int=2>          : max orientations per keypoint (1..4)
 -s <int=1>          : subpixel/subscale localization
 -da                 : darkness adaption (hessian personality)
+-dog / -hessian     : detector personality (default hessian; reference
+                      picks this at build time via config.h GPU_HESSIAN)
 -sd                 : skip descriptors
 -unn                : unnormalized descriptors
 -b / -bvlf          : binary / vlfeat output format

@@ -183,6 +183,12 @@ class SiftConfig:
                 cfg.verbose = int(val())
             elif opt == "-da":
                 cfg.darkness_adaption = True
+            elif opt in ("-dog", "-sift"):
+                # reference picks the personality at build time
+                # (config.h GPU_HESSIAN); here it's a runtime switch
+                cfg.detector = "dog"
+            elif opt == "-hessian":
+                cfg.detector = "hessian"
             elif opt in ("-cuda", "-p", "-winpos", "-display", "-device"):
                 val()  # accepted, ignored (GL/CUDA-era)
             elif opt in ("-glsl", "-pack", "-unpack", "-lc", "-lcpu", "-lgpu",
