@@ -202,6 +202,8 @@ def reconstruct_sequence(
     verbose: bool = False,
     resume: Optional[Reconstruction] = None,
     guided_rematch: bool = True,
+    extend_tracks: bool = False,
+    merge_tracks: bool = False,
 ) -> Optional[Reconstruction]:
     """Incremental SfM over an ordered list of per-image feature dicts
     (the output of HessianSift.run).
@@ -215,6 +217,16 @@ def reconstruct_sequence(
       * loop closure: candidate pairs found by mean-descriptor retrieval
         are verified with a two-view pose and fed as pose-graph edges
         (sfm/posegraph.py), then poses are re-fed to a final BA.
+
+    extend_tracks / merge_tracks (opt-in): reprojection-gated track
+    continuation into views where matching found the feature but the
+    track had no observation, and union-find merging of duplicate tracks
+    discovered through shared matches. Both are off by default: on the
+    synthetic-TUM default-threshold benchmark they MEASURED WORSE (ATE
+    0.116 off -> 0.21/0.23 at an 8 px gate, 0.17 at 2.5 px) - early
+    wrong associations contaminate the periodic BAs faster than the
+    final robust BA can prune them. Available for dense, well-textured
+    sequences where association ambiguity is low.
 
     resume: a checkpointed Reconstruction (sfm.io.load_reconstruction)
     over a PREFIX of the same sequence: registration continues at view
@@ -246,7 +258,8 @@ def reconstruct_sequence(
             ba_iterations=ba_iterations, lookback=lookback,
             loop_closure=loop_closure, loop_gap=loop_gap,
             huber_delta=huber_delta, mesh=mesh, verbose=verbose,
-            guided_rematch=guided_rematch)
+            guided_rematch=guided_rematch, extend_tracks=extend_tracks,
+            merge_tracks=merge_tracks)
 
     # ---- initialize from the first strong adjacent pair ------------------
     init_b = None
@@ -290,19 +303,60 @@ def reconstruct_sequence(
         ba_iterations=ba_iterations, lookback=lookback,
         loop_closure=loop_closure, loop_gap=loop_gap,
         huber_delta=huber_delta, mesh=mesh, verbose=verbose,
-        guided_rematch=guided_rematch)
+        guided_rematch=guided_rematch, extend_tracks=extend_tracks,
+        merge_tracks=merge_tracks)
+
+
+# reprojection gate (px) for track extension / merge association; kept
+# module-level so experiments can tighten it without API churn
+_EXT_GATE_PX = 8.0
+
+
+def _uf_find(uf: Dict[int, int], x: int) -> int:
+    root = x
+    while uf.get(root, root) != root:
+        root = uf[root]
+    while uf.get(x, x) != x:
+        uf[x], x = root, uf[x]
+    return root
+
+
+def _apply_track_merges(rec: Reconstruction, uf: Dict[int, int]) -> int:
+    """Canonicalize merged track ids (union-find), remap track_of/obs and
+    drop duplicate (camera, track) observations. Orphaned point rows keep
+    their stale coordinates: they end up with no observations, so
+    re-triangulation skips them and BA's lam-damped point blocks stay
+    invertible. Returns the number of merge groups applied."""
+    if not uf:
+        return 0
+    rec.track_of = {k: _uf_find(uf, t) for k, t in rec.track_of.items()}
+    new_obs, seen = [], set()
+    for (c, t, u, v) in rec.obs:
+        t2 = _uf_find(uf, t)
+        if (c, t2) in seen:
+            continue
+        seen.add((c, t2))
+        new_obs.append((c, t2, u, v))
+    rec.obs = new_obs
+    return len({_uf_find(uf, t) for t in uf})
 
 
 def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
                         start: int, n_img: int, *, min_matches, ba_every,
                         ba_iterations, lookback, loop_closure, loop_gap,
                         huber_delta, mesh, verbose,
-                        guided_rematch=True) -> Reconstruction:
+                        guided_rematch=True,
+                        extend_tracks=False,
+                        merge_tracks=False) -> Reconstruction:
     """Register views [start, n_img) into rec (lookback PnP; skip, don't
     break), then loop closure, re-triangulation, and the final BA. Shared
     by the fresh and checkpoint-resume paths of reconstruct_sequence."""
     # ---- register remaining views (lookback; skip, don't break) ----------
     skipped = 0
+    merge_uf: Dict[int, int] = {}
+    # one observation per (camera, track): the 2D-3D loop and extensions
+    # must not double-book a track in a view through two features
+    obs_seen = {(c, t) for c, t, _, _ in rec.obs}
     for i in range(start, n_img):
         # 2D-3D correspondences through tracks of the last `lookback`
         # registered views (nearest first so its matches win duplicates)
@@ -343,6 +397,7 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
         for (fcur, tid), ok in zip(new_pairs, inl):
             if ok and (i, fcur) not in rec.track_of:
                 rec.track_of[(i, fcur)] = tid
+                obs_seen.add((cam, tid))
                 rec.obs.append((cam, tid,
                                 float(feature_sets[i]["x"][fcur]),
                                 float(feature_sets[i]["y"][fcur])))
@@ -367,9 +422,71 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
                     if extra:
                         mm = np.vstack([mm.reshape(-1, 2),
                                         np.asarray(extra)])
-            fresh = [(fp, fc) for fp, fc in mm
-                     if (v_prev, int(fp)) not in rec.track_of
-                     and (i, int(fc)) not in rec.track_of]
+            # classify each match: both endpoints already tracked (a merge
+            # candidate - two tracks observed the same physical point),
+            # one tracked (extend that track into the untracked view), or
+            # neither (triangulate fresh below)
+            fresh, ext_cur, ext_prev, merge_cand = [], [], [], []
+            for fp_, fc_ in mm:
+                ta = rec.track_of.get((v_prev, int(fp_)))
+                tb = rec.track_of.get((i, int(fc_)))
+                if ta is None and tb is None:
+                    fresh.append((fp_, fc_))
+                elif ta is not None and tb is not None:
+                    if ta != tb:
+                        merge_cand.append((ta, tb, int(fp_), int(fc_)))
+                elif ta is not None:
+                    ext_cur.append((int(fc_), ta))
+                else:
+                    ext_prev.append((int(fp_), tb))
+            if extend_tracks and (ext_cur or ext_prev):
+                # reprojection-gated track extension: longer tracks are the
+                # scarce resource at sparse detection thresholds
+                for flist, Pm, cam_id, view_id, fs in (
+                        (ext_cur, P_cur, cam, i, feature_sets[i]),
+                        (ext_prev, P_prev, cam_prev, v_prev,
+                         feature_sets[v_prev])):
+                    if not flist:
+                        continue
+                    fidx = np.asarray([f for f, _ in flist])
+                    tids = np.asarray([t for _, t in flist])
+                    q = np.stack([fs["x"][fidx], fs["y"][fidx]], 1)
+                    pr = rec.points[tids] @ Pm[:, :3].T + Pm[:, 3]
+                    zs = np.where(np.abs(pr[:, 2]) < 1e-9, 1e-9, pr[:, 2])
+                    err = np.linalg.norm(pr[:, :2] / zs[:, None] - q, axis=1)
+                    ok_e = (pr[:, 2] > 0) & (err < _EXT_GATE_PX)
+                    for k in np.nonzero(ok_e)[0]:
+                        key = (view_id, int(fidx[k]))
+                        tid = int(tids[k])
+                        if key in rec.track_of or (cam_id, tid) in obs_seen:
+                            continue
+                        rec.track_of[key] = tid
+                        obs_seen.add((cam_id, tid))
+                        rec.obs.append((cam_id, tid,
+                                        float(q[k, 0]), float(q[k, 1])))
+            if merge_tracks and merge_cand:
+                # merge only when each track's point explains the OTHER
+                # track's observation (cross-reprojection gate); applied
+                # lazily via union-find before loop closure
+                ta_ = np.asarray([a for a, _, _, _ in merge_cand])
+                tb_ = np.asarray([b for _, b, _, _ in merge_cand])
+                fp_ = np.asarray([p for _, _, p, _ in merge_cand])
+                fc_ = np.asarray([c_ for _, _, _, c_ in merge_cand])
+                qp = np.stack([feature_sets[v_prev]["x"][fp_],
+                               feature_sets[v_prev]["y"][fp_]], 1)
+                qc = np.stack([feature_sets[i]["x"][fc_],
+                               feature_sets[i]["y"][fc_]], 1)
+                ok_m = np.ones(len(merge_cand), bool)
+                for tids_, Pm, q in ((ta_, P_cur, qc), (tb_, P_prev, qp)):
+                    pr = rec.points[tids_] @ Pm[:, :3].T + Pm[:, 3]
+                    zs = np.where(np.abs(pr[:, 2]) < 1e-9, 1e-9, pr[:, 2])
+                    err = np.linalg.norm(pr[:, :2] / zs[:, None] - q, axis=1)
+                    ok_m &= (pr[:, 2] > 0) & (err < _EXT_GATE_PX)
+                for k in np.nonzero(ok_m)[0]:
+                    ra = _uf_find(merge_uf, int(ta_[k]))
+                    rb = _uf_find(merge_uf, int(tb_[k]))
+                    if ra != rb:
+                        merge_uf[max(ra, rb)] = min(ra, rb)
             if not fresh:
                 continue
             fp = np.asarray([f for f, _ in fresh])
@@ -399,6 +516,8 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
                 if ok[k]:
                     rec.track_of[(v_prev, int(fpk))] = tid
                     rec.track_of[(i, int(fck))] = tid
+                    obs_seen.add((cam_prev, tid))
+                    obs_seen.add((cam, tid))
                     rec.obs.append((cam_prev, tid,
                                     float(q1[k, 0]), float(q1[k, 1])))
                     rec.obs.append((cam, tid,
@@ -411,6 +530,10 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
             if verbose:
                 print(f"view {i}: cams={rec.num_cameras} "
                       f"pts={rec.num_points}")
+
+    n_merged = _apply_track_merges(rec, merge_uf)
+    if verbose and n_merged:
+        print(f"merged {n_merged} duplicate-track groups")
 
     # ---- loop closure via pose graph -------------------------------------
     if loop_closure and rec.num_cameras >= loop_gap + 2:

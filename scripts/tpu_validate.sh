@@ -28,7 +28,7 @@ print("descs finite:", np.isfinite(d).all(), "norm med:", np.median(np.linalg.no
 EOF
 
 echo "=== 3. per-stage device profile B=16"
-timeout 2400 python /tmp/stage_b16.py 2>&1 | tail -10
+timeout 2400 python scripts/stage_b16.py 2>&1 | tail -10
 
 echo "=== 4. MXU descriptor contraction experiment (flip mxu=True and time)"
 echo "    (manual: ops/pallas/patch.py descriptor_pallas(mxu=...); compare stage 3)"

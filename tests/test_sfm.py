@@ -153,3 +153,39 @@ def test_checkpoint_resume_matches_full_run(rng, tmp_path):
         est = camera_centers(rec.R, rec.t)
         ate = ate_rmse(est, gt_centers[rec.view_ids])
         assert ate < 0.05, f"ATE {ate}"
+
+
+def test_apply_track_merges_dedupes():
+    """Union-find merge canonicalizes track ids and drops duplicate
+    (camera, track) observations (the other track's view of the point)."""
+    from hessgpu_tpu.sfm.incremental import Reconstruction, _apply_track_merges
+
+    rec = Reconstruction(
+        R=[np.eye(3)] * 3, t=[np.zeros(3)] * 3,
+        K=np.eye(3), points=np.arange(9.0).reshape(3, 3),
+        obs=[(0, 0, 1.0, 1.0), (1, 0, 2.0, 2.0),
+             (1, 2, 2.1, 2.1),           # duplicate view of track 0 via 2
+             (2, 2, 3.0, 3.0),
+             (0, 1, 5.0, 5.0)],
+        track_of={(0, 10): 0, (1, 11): 0, (1, 12): 2, (2, 13): 2, (0, 14): 1},
+    )
+    n = _apply_track_merges(rec, {2: 0})
+    assert n == 1
+    assert set(rec.track_of.values()) == {0, 1}
+    # (1, 2) collapsed onto the existing (1, 0) observation
+    assert rec.obs == [(0, 0, 1.0, 1.0), (1, 0, 2.0, 2.0),
+                       (2, 0, 3.0, 3.0), (0, 1, 5.0, 5.0)]
+
+
+def test_extend_tracks_adds_observations(rng):
+    """Track extension grows observation count (longer tracks) without
+    hurting trajectory accuracy, and never double-books a (cam, track)."""
+    K, Rs, ts, X, feats = _synthetic_sequence(rng, n_views=6)
+    rec_off = reconstruct_sequence(feats, K, ba_every=3, extend_tracks=False)
+    rec_on = reconstruct_sequence(feats, K, ba_every=3, extend_tracks=True)
+    assert len(rec_on.obs) >= len(rec_off.obs)
+    pairs = [(c, t) for c, t, _, _ in rec_on.obs]
+    assert len(pairs) == len(set(pairs))
+    gt = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+    est = camera_centers(rec_on.R, rec_on.t)
+    assert ate_rmse(est, gt[: len(est)]) < 0.05
