@@ -22,8 +22,11 @@
 #include <unistd.h>
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -114,9 +117,24 @@ int ReadLine(int fd, char* buf, int max_len) {
 // embedded python backend
 // ---------------------------------------------------------------------------
 
+// Each connection thread owns one ServerBackend instance; every entry
+// into the interpreter grabs the GIL (connection threads are plain C++
+// threads, so PyGILState_Ensure is the correct primitive).
+class GilLock {
+ public:
+  GilLock() : state_(PyGILState_Ensure()) {}
+  ~GilLock() { PyGILState_Release(state_); }
+  GilLock(const GilLock&) = delete;
+  GilLock& operator=(const GilLock&) = delete;
+
+ private:
+  PyGILState_STATE state_;
+};
+
 class PyBackend {
  public:
   explicit PyBackend(const std::string& params) {
+    GilLock gil;
     PyObject* module = PyImport_ImportModule("hessgpu_tpu.server_backend");
     if (!module) {
       PyErr_Print();
@@ -133,7 +151,13 @@ class PyBackend {
     Py_DECREF(module);
   }
 
+  ~PyBackend() {
+    GilLock gil;
+    Py_XDECREF(backend_);
+  }
+
   long CallInt(const char* method, const char* fmt = nullptr, ...) {
+    GilLock gil;
     va_list va;
     PyObject* result;
     if (fmt) {
@@ -156,7 +180,15 @@ class PyBackend {
     return value;
   }
 
-  void CallVoid(const char* method, PyObject* args) {
+  void CallVoid(const char* method, const char* fmt = nullptr, ...) {
+    GilLock gil;
+    PyObject* args = nullptr;
+    if (fmt) {
+      va_list va;
+      va_start(va, fmt);
+      args = Py_VaBuildValue(fmt, va);
+      va_end(va);
+    }
     PyObject* callable = PyObject_GetAttrString(backend_, method);
     PyObject* result = PyObject_CallObject(callable, args);
     if (!result) PyErr_Print();
@@ -165,8 +197,16 @@ class PyBackend {
     Py_XDECREF(args);
   }
 
-  // returns malloc'd copy of bytes result; caller frees
-  bool CallBytes(const char* method, PyObject* args, std::vector<char>* out) {
+  bool CallBytes(const char* method, std::vector<char>* out,
+                 const char* fmt = nullptr, ...) {
+    GilLock gil;
+    PyObject* args = nullptr;
+    if (fmt) {
+      va_list va;
+      va_start(va, fmt);
+      args = Py_VaBuildValue(fmt, va);
+      va_end(va);
+    }
     PyObject* callable = PyObject_GetAttrString(backend_, method);
     PyObject* result = PyObject_CallObject(callable, args);
     Py_DECREF(callable);
@@ -186,14 +226,17 @@ class PyBackend {
     return true;
   }
 
-  PyObject* raw() { return backend_; }
-
  private:
   PyObject* backend_ = nullptr;
 };
 
 // ---------------------------------------------------------------------------
-// the serving loop (single connection at a time, like the reference)
+// the serving loop. The reference serves one connection at a time
+// (ServerSiftGPU.cpp:239-530); here each client gets its own thread and
+// its own ServerBackend instance, so per-connection state (current
+// image, keypoint list, matcher slots, parse_param overrides) is
+// isolated while jit caches and the device are shared. The GIL
+// serializes interpreter entry; device compute is serialized by JAX.
 // ---------------------------------------------------------------------------
 
 void ServeConnection(int fd, PyBackend* backend) {
@@ -208,8 +251,12 @@ void ServeConnection(int fd, PyBackend* backend) {
         break;
       }
       case COMMAND_EXIT: {
+        // shut the whole server down (reference semantics: the spawning
+        // client terminates its server); _Exit avoids running dtors under
+        // other threads' feet
         close(fd);
-        return;
+        std::fflush(nullptr);
+        std::_Exit(0);
       }
       case COMMAND_ALLOCATE_PYRAMID: {
         int size[2];
@@ -233,10 +280,9 @@ void ServeConnection(int fd, PyBackend* backend) {
         if (num > 0) {
           std::vector<char> keys(static_cast<size_t>(num) * 6 * sizeof(float));
           ReadData(fd, keys.data(), static_cast<int>(keys.size()));
-          PyObject* args = Py_BuildValue(
-              "(y#ii)", keys.data(), static_cast<Py_ssize_t>(keys.size()),
-              num, has_orientation);
-          backend->CallVoid("set_keypoint_list", args);
+          backend->CallVoid("set_keypoint_list", "(y#ii)", keys.data(),
+                            static_cast<Py_ssize_t>(keys.size()), num,
+                            has_orientation);
         }
         break;
       }
@@ -254,21 +300,9 @@ void ServeConnection(int fd, PyBackend* backend) {
         ReadInt(fd, &size, 1);
         std::vector<char> data(size);
         ReadData(fd, data.data(), size);
-        PyObject* args = Py_BuildValue(
-            "(iiy#ii)", desc[0], desc[1], data.data(),
-            static_cast<Py_ssize_t>(size), desc[2], desc[3]);
-        PyObject* callable =
-            PyObject_GetAttrString(backend->raw(), "run_sift_data");
-        PyObject* result = PyObject_CallObject(callable, args);
-        int ok = 0;
-        if (result) {
-          ok = static_cast<int>(PyLong_AsLong(result));
-          Py_DECREF(result);
-        } else {
-          PyErr_Print();
-        }
-        Py_DECREF(callable);
-        Py_DECREF(args);
+        int ok = static_cast<int>(backend->CallInt(
+            "run_sift_data", "(iiy#ii)", desc[0], desc[1], data.data(),
+            static_cast<Py_ssize_t>(size), desc[2], desc[3]));
         feature_count = static_cast<int>(backend->CallInt("feature_count"));
         WriteInt(fd, ok);
         break;
@@ -281,20 +315,9 @@ void ServeConnection(int fd, PyBackend* backend) {
         if (num > 0) {
           std::vector<char> keys(num * 6 * sizeof(float));
           ReadData(fd, keys.data(), static_cast<int>(keys.size()));
-          PyObject* args = Py_BuildValue(
-              "(y#ii)", keys.data(), static_cast<Py_ssize_t>(keys.size()),
-              num, has_orientation);
-          PyObject* callable =
-              PyObject_GetAttrString(backend->raw(), "run_sift_keys");
-          PyObject* r = PyObject_CallObject(callable, args);
-          if (r) {
-            result = static_cast<int>(PyLong_AsLong(r));
-            Py_DECREF(r);
-          } else {
-            PyErr_Print();
-          }
-          Py_DECREF(callable);
-          Py_DECREF(args);
+          result = static_cast<int>(backend->CallInt(
+              "run_sift_keys", "(y#ii)", keys.data(),
+              static_cast<Py_ssize_t>(keys.size()), num, has_orientation));
           feature_count = static_cast<int>(backend->CallInt("feature_count"));
         }
         WriteInt(fd, result);
@@ -306,25 +329,25 @@ void ServeConnection(int fd, PyBackend* backend) {
       }
       case COMMAND_GET_KEY_VECTOR: {
         std::vector<char> bytes;
-        backend->CallBytes("get_key_vector", nullptr, &bytes);
+        backend->CallBytes("get_key_vector", &bytes);
         WriteData(fd, bytes.data(), static_cast<int>(bytes.size()));
         break;
       }
       case COMMAND_GET_DES_VECTOR: {
         std::vector<char> bytes;
-        backend->CallBytes("get_des_vector", nullptr, &bytes);
+        backend->CallBytes("get_des_vector", &bytes);
         WriteData(fd, bytes.data(), static_cast<int>(bytes.size()));
         break;
       }
       case COMMAND_SAVE_SIFT: {
         ReadLine(fd, buf, sizeof(buf));
-        backend->CallVoid("save_sift", Py_BuildValue("(s)", buf));
+        backend->CallVoid("save_sift", "(s)", buf);
         break;
       }
       case COMMAND_SET_MAX_DIMENSION: {
         int maxd = 0;
         if (ReadInt(fd, &maxd) && maxd > 0) {
-          backend->CallVoid("set_max_dimension", Py_BuildValue("(i)", maxd));
+          backend->CallVoid("set_max_dimension", "(i)", maxd);
         }
         break;
       }
@@ -335,7 +358,7 @@ void ServeConnection(int fd, PyBackend* backend) {
       }
       case COMMAND_PARSE_PARAM: {
         ReadLine(fd, buf, sizeof(buf));
-        backend->CallVoid("parse_param", Py_BuildValue("(s)", buf));
+        backend->CallVoid("parse_param", "(s)", buf);
         break;
       }
       case COMMAND_MATCH_INITIALIZE: {
@@ -355,12 +378,10 @@ void ServeConnection(int fd, PyBackend* backend) {
           const size_t elt = is_float ? sizeof(float) : 1;
           std::vector<char> data(128 * elt * cmd3[1]);
           if (ReadData(fd, data.data(), static_cast<int>(data.size()))) {
-            PyObject* args = Py_BuildValue(
-                "(iiy#)", cmd3[0], cmd3[1], data.data(),
-                static_cast<Py_ssize_t>(data.size()));
             backend->CallVoid(is_float ? "match_set_descriptors_float"
                                        : "match_set_descriptors_byte",
-                              args);
+                              "(iiy#)", cmd3[0], cmd3[1], data.data(),
+                              static_cast<Py_ssize_t>(data.size()));
           }
         }
         break;
@@ -372,9 +393,9 @@ void ServeConnection(int fd, PyBackend* backend) {
         std::vector<char> bytes;
         if (ReadData(fd, cmd2, sizeof(cmd2)) &&
             ReadData(fd, fcmd2, sizeof(fcmd2))) {
-          PyObject* args = Py_BuildValue("(iffi)", cmd2[0], fcmd2[0],
-                                         fcmd2[1], cmd2[1]);
-          if (backend->CallBytes("match_get_match", args, &bytes)) {
+          if (backend->CallBytes("match_get_match", &bytes, "(iffi)",
+                                 cmd2[0], static_cast<double>(fcmd2[0]),
+                                 static_cast<double>(fcmd2[1]), cmd2[1])) {
             result = static_cast<int>(bytes.size() / (2 * sizeof(int)));
           }
         }
@@ -387,8 +408,7 @@ void ServeConnection(int fd, PyBackend* backend) {
       case COMMAND_MATCH_SET_MAXSIFT: {
         int max_sift = 0;
         if (ReadInt(fd, &max_sift)) {
-          backend->CallVoid("match_set_maxsift",
-                            Py_BuildValue("(i)", max_sift));
+          backend->CallVoid("match_set_maxsift", "(i)", max_sift);
         }
         break;
       }
@@ -465,8 +485,6 @@ int main(int argc, char** argv) {
       "')))\n"
       "sys.path.insert(0, root)\n");
 
-  PyBackend backend(params);
-
   int sockfd = socket(AF_INET, SOCK_STREAM, 0);
   int opt = 1;
   setsockopt(sockfd, SOL_SOCKET, SO_REUSEADDR, &opt, sizeof(opt));
@@ -478,12 +496,15 @@ int main(int argc, char** argv) {
     std::perror("hess_server: bind");
     return 1;
   }
-  if (listen(sockfd, 1) != 0) {
+  if (listen(sockfd, 8) != 0) {
     std::perror("hess_server: listen");
     return 1;
   }
   std::printf("hess_server: listening on port %d\n", port);
   std::fflush(stdout);
+
+  // hand the GIL over to connection threads; main only accepts
+  PyThreadState* main_state = PyEval_SaveThread();
 
   for (;;) {
     sockaddr_in cli{};
@@ -492,11 +513,15 @@ int main(int argc, char** argv) {
     if (fd < 0) break;
     std::printf("hess_server: client connected\n");
     std::fflush(stdout);
-    ServeConnection(fd, &backend);
-    std::printf("hess_server: client disconnected\n");
-    std::fflush(stdout);
+    std::thread([fd, params]() {
+      PyBackend backend(params);
+      ServeConnection(fd, &backend);
+      std::printf("hess_server: client disconnected\n");
+      std::fflush(stdout);
+    }).detach();
   }
   close(sockfd);
+  PyEval_RestoreThread(main_state);
   Py_Finalize();
   return 0;
 }

@@ -65,7 +65,11 @@ class RemoteSift:
             self._proc = subprocess.Popen(cmd, env=env)
             host = "127.0.0.1"
             self._wait_for_server(host, port)
-        self.sock = socket.create_connection((host, port), timeout=600)
+        # sanitizer-instrumented servers can spend >10 min in one compile;
+        # HESS_CLIENT_TIMEOUT (seconds) widens the per-recv deadline
+        self.sock = socket.create_connection(
+            (host, port),
+            timeout=float(os.environ.get("HESS_CLIENT_TIMEOUT", 600)))
         self._feature_count = 0
 
     def _wait_for_server(self, host, port, timeout=60.0):
@@ -202,6 +206,15 @@ class RemoteSift:
     def save_sift(self, path: str) -> None:
         self._wi(COMMAND_SAVE_SIFT)
         self._wline(path)
+
+    def set_max_dimension(self, maxd: int) -> None:
+        """Reference ServerSiftGPU::SetMaxDimension (no reply)."""
+        self._wi(COMMAND_SET_MAX_DIMENSION, int(maxd))
+
+    def set_tight_pyramid(self, tight: int = 1) -> None:
+        """Reference ServerSiftGPU::SetTightPyramid (accepted; pyramid
+        reuse is automatic on the jit cache, no reply)."""
+        self._wi(COMMAND_SET_TIGHTPYRAMID, int(tight))
 
     # ---- matcher API ------------------------------------------------------
     def match_set_descriptors(self, index: int, desc: np.ndarray) -> None:

@@ -142,3 +142,110 @@ def test_server_selftest_flag():
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "self-test passed" in r.stdout
+
+
+def test_server_concurrent_clients(gray_small):
+    """Two clients on ONE server process, interleaved: per-connection
+    backends isolate state (parse_param on one client does not leak into
+    the other; each keeps its own current image / feature list). The
+    reference serves one client at a time - this is a deliberate
+    extension (hess_server.cpp ServeConnection thread-per-client)."""
+    import subprocess
+    import time
+
+    port = _free_port()
+    proc = subprocess.Popen([SERVER_BIN, "-server", str(port)],
+                            env=_cpu_env(), stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 60
+        while True:
+            try:
+                a = RemoteSift(host="127.0.0.1", port=port)
+                break
+            except (ConnectionRefusedError, OSError):
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        b = RemoteSift(host="127.0.0.1", port=port)
+        assert a.initialize()
+        assert b.initialize()
+
+        # b raises its detection threshold; a must be unaffected
+        b.parse_param("-t 0.5")
+
+        assert a.run_sift_data(gray_small)
+        na = a.get_feature_count()
+        assert b.run_sift_data(gray_small)
+        nb = b.get_feature_count()
+        assert na > 20
+        assert nb < na          # stricter threshold on b only
+
+        # interleave: a's state survives b's activity
+        keys_a, _ = a.get_feature_vector()
+        assert b.run_sift_data(np.ascontiguousarray(gray_small[::-1]))
+        assert a.get_feature_count() == na
+        keys_a2, _ = a.get_feature_vector()
+        np.testing.assert_array_equal(keys_a, keys_a2)
+
+        a.close()
+        b.close()
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_server_concurrent_light():
+    """Sanitizer-friendly concurrency check: two clients enter the
+    embedded interpreter concurrently (initialize / parse_param /
+    counters) with no jit compiles. This is the designated target for
+    the TSan build of the threaded server:
+
+        make -C csrc tsan
+        HESS_SERVER_BIN=csrc/build-tsan/hess_server \
+            pytest tests/test_server.py::test_server_concurrent_light
+    """
+    import subprocess
+    import time
+
+    port = _free_port()
+    proc = subprocess.Popen([SERVER_BIN, "-server", str(port)],
+                            env=_cpu_env(), stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 120
+        while True:
+            try:
+                a = RemoteSift(host="127.0.0.1", port=port)
+                break
+            except (ConnectionRefusedError, OSError):
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        b = RemoteSift(host="127.0.0.1", port=port)
+        import threading
+
+        errs = []
+
+        def hammer(client, tag):
+            try:
+                assert client.initialize()
+                for k in range(5):
+                    client.parse_param(f"-t 0.0{k + 1}")
+                    client.set_max_dimension(2048 + k)
+                    assert client.get_feature_count() == 0
+            except Exception as e:          # propagate to the main thread
+                errs.append((tag, e))
+
+        ts = [threading.Thread(target=hammer, args=(c, t))
+              for c, t in ((a, "a"), (b, "b"))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert not errs, errs
+        a.close()
+        b.close()
+    finally:
+        proc.kill()
+        proc.wait()
