@@ -312,10 +312,10 @@ def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin,
             for cxi in range(4):
                 ax = jnp.maximum(0.0, 1.0 - jnp.abs(cu - cxi))
                 U.append(way * ax)
-        Um = jnp.stack(U)              # (16, rows, cols)
-        Vm = jnp.stack(gbin)           # (8, rows, cols)
+        Um = jnp.stack(U).reshape(16, rows * cols)
+        Vm = jnp.stack(gbin).reshape(8, rows * cols)
         return jax.lax.dot_general(
-            Um, Vm, (((1, 2), (1, 2)), ((), ())),
+            Um, Vm, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)   # (16, 8)
 
     # accumulate the 128 cell/bin sums into a (1, 128) lane-masked vector -
@@ -371,7 +371,16 @@ def descriptor_pallas(
     rows, cols = _window_dims(wsize)
     r = (wsize - 1) // 2
 
-    def kernel(xs, ys, sigs, ths, lvls, valids, lh, lw, pln, roff, coff,
+    # host-side activity masks: the kernel's scalar core paid ~0.1 us per
+    # INVALID slot just loading 8 valids and OR-ing them per group (3.7 ms
+    # per 32k-slot launch at B=16); precomputing one flag per group and per
+    # program makes a skipped program cost two SMEM loads
+    vgrp = valid.reshape(-1, BK).any(axis=1)
+    grp_any = vgrp.astype(jnp.int32)
+    prog_any = vgrp.reshape(-1, NG).any(axis=1).astype(jnp.int32)
+
+    def kernel(prog_anys, grp_anys, xs, ys, sigs, ths, lvls, valids,
+               lh, lw, pln, roff, coff,
                grad_hbm, rot_hbm, out_ref, gwin, rwin, obuf, sems):
         kb = pl.program_id(0)
 
@@ -394,9 +403,7 @@ def descriptor_pallas(
         # into obuf and land with one aligned block store per group
         def group(g, carry):
             base = kb * BKP + g * BK
-            any_valid = valids[base]
-            for i in range(1, BK):
-                any_valid = any_valid | valids[base + i]
+            any_valid = grp_anys[kb * NG + g]
 
             @pl.when(any_valid != 0)
             def _():
@@ -442,29 +449,25 @@ def descriptor_pallas(
                         else:
                             obuf[i:i + 1, :] = desc
 
-                    @pl.when(jnp.logical_not(is_valid))
-                    def _(i=i):
-                        if mxu:
-                            obuf[i, :, :] = jnp.zeros((16, 8), jnp.float32)
-                        else:
-                            obuf[i:i + 1, :] = jnp.zeros((1, 128),
-                                                         jnp.float32)
+                # invalid slots (and all-invalid groups below) leave stale
+                # scratch/output bytes behind on purpose: callers mask with
+                # `where(valid, desc, 0)`, and skipping the zero-stores cuts
+                # the front-packed table's long invalid tail to almost
+                # nothing (it was ~40% of the stage at B=16)
+                o0 = pl.multiple_of(g * BK, BK)
+                if mxu:
+                    out_ref[pl.ds(o0, BK), :, :] = obuf[:, :, :]
+                else:
+                    out_ref[pl.ds(o0, BK), :] = obuf[:, :]
 
-            @pl.when(any_valid == 0)
-            def _():
-                obuf[...] = jnp.zeros_like(obuf)
-
-            o0 = pl.multiple_of(g * BK, BK)
-            if mxu:
-                out_ref[pl.ds(o0, BK), :, :] = obuf[:, :, :]
-            else:
-                out_ref[pl.ds(o0, BK), :] = obuf[:, :]
             return carry
 
-        jax.lax.fori_loop(0, NG, group, 0)
+        @pl.when(prog_anys[kb] != 0)
+        def _():
+            jax.lax.fori_loop(0, NG, group, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
+        num_scalar_prefetch=13,
         grid=(G // BKP,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # grad stack (HBM)
@@ -489,7 +492,7 @@ def descriptor_pallas(
         out_shape=jax.ShapeDtypeStruct((G, 16, 8) if mxu else (G, 128),
                                        jnp.float32),
         interpret=interpret,
-    )(x, y, sigma, theta, level_id.astype(jnp.int32),
+    )(prog_any, grp_any, x, y, sigma, theta, level_id.astype(jnp.int32),
       valid.astype(jnp.int32), stack.level_h, stack.level_w,
       stack.plane, stack.row_off, stack.col_off, stack.grad, stack.rot)
     if mxu:
@@ -682,12 +685,17 @@ def orientation_pallas(
                 th_ref[oi:oi + 1, :] = th_row
                 ov_ref[oi:oi + 1, :] = ov_row
 
-        @pl.when(jnp.logical_not(is_valid))
-        def _():
-            th_ref[oi:oi + 1, :] = jnp.zeros((1, 4), jnp.float32)
-            ov_ref[oi:oi + 1, :] = jnp.zeros((1, 4), jnp.int32)
+        # invalid slots leave stale buffer bytes on purpose: the caller
+        # masks ovalid with `& valid[:, None]` and consumers mask thetas
 
-    def kernel(xs, ys, sigs, lvls, valids, lh, lw, pln, roff, coff,
+    # host-side activity masks (see descriptor_pallas): one SMEM load per
+    # skipped group/program instead of 8 valid loads + ORs on the scalar core
+    vgrp = valid.reshape(-1, BK).any(axis=1)
+    grp_any = vgrp.astype(jnp.int32)
+    prog_any = vgrp.reshape(-1, NG).any(axis=1).astype(jnp.int32)
+
+    def kernel(prog_anys, grp_anys, xs, ys, sigs, lvls, valids,
+               lh, lw, pln, roff, coff,
                grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin,
                thbuf, ovbuf, sems):
         kb = pl.program_id(0)
@@ -697,9 +705,7 @@ def orientation_pallas(
         # into th/ov buffers and land with one aligned block store each
         def group(g, carry):
             base = kb * BKP + g * BK
-            any_valid = valids[base]
-            for i in range(1, BK):
-                any_valid = any_valid | valids[base + i]
+            any_valid = grp_anys[kb * NG + g]
 
             @pl.when(any_valid != 0)
             def _():
@@ -722,20 +728,20 @@ def orientation_pallas(
                                   grad_hbm, rot_hbm, thbuf, ovbuf, gwin,
                                   rwin, sems)
 
-            @pl.when(any_valid == 0)
-            def _():
-                thbuf[:, :] = jnp.zeros((BK, 4), jnp.float32)
-                ovbuf[:, :] = jnp.zeros((BK, 4), jnp.int32)
+                # all-invalid groups skip even the stores: outputs keep
+                # stale bytes, masked by the caller's `& valid[:, None]`
+                o0 = pl.multiple_of(g * BK, BK)
+                th_ref[pl.ds(o0, BK), :] = thbuf[:, :]
+                ov_ref[pl.ds(o0, BK), :] = ovbuf[:, :]
 
-            o0 = pl.multiple_of(g * BK, BK)
-            th_ref[pl.ds(o0, BK), :] = thbuf[:, :]
-            ov_ref[pl.ds(o0, BK), :] = ovbuf[:, :]
             return carry
 
-        jax.lax.fori_loop(0, NG, group, 0)
+        @pl.when(prog_anys[kb] != 0)
+        def _():
+            jax.lax.fori_loop(0, NG, group, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=12,
         grid=(G // BKP,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -762,7 +768,8 @@ def orientation_pallas(
         out_shape=(jax.ShapeDtypeStruct((G, 4), jnp.float32),
                    jax.ShapeDtypeStruct((G, 4), jnp.int32)),
         interpret=interpret,
-    )(x, y, sigma, level_id.astype(jnp.int32), valid.astype(jnp.int32),
+    )(prog_any, grp_any, x, y, sigma, level_id.astype(jnp.int32),
+      valid.astype(jnp.int32),
       stack.level_h, stack.level_w, stack.plane, stack.row_off,
       stack.col_off, stack.grad, stack.rot)
     thetas = thetas[:G0]

@@ -563,6 +563,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                     table.level_id, pstack,
                     wsize=dwin, pad=pad,
                     window_factor=cfg.descriptor_window_factor,
+                    mxu=True,
                     interpret=interpret)
                 desc = jnp.where(table.valid[:, None], desc, 0.0)
                 if cfg.half_sift:
@@ -806,6 +807,7 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
                     x, y, sg, th, vl, lid, pstack,
                     wsize=dwin, pad=pad,
                     window_factor=cfg.descriptor_window_factor,
+                    mxu=True,
                     interpret=interpret),
                 (flat(table.x), flat(table.y), flat(table.sigma),
                  flat(table.theta), fvalid, flat(offset_lid(table))), 1)

@@ -42,10 +42,11 @@ def test_descriptor_pallas_matches_reference(scene):
         jnp.asarray(valid), jnp.asarray(lid), ps,
         wsize=wsize, pad=pad, interpret=True))
 
-    # reference: per-level jnp implementation
+    # reference: per-level jnp implementation. Invalid slots are
+    # UNSPECIFIED (the kernel skips their stores; callers mask with
+    # `where(valid, desc, 0)`), so only valid slots are compared.
     for i in range(len(kx)):
         if not valid[i]:
-            np.testing.assert_array_equal(got[i], 0)
             continue
         want = np.asarray(compute_descriptors(
             jnp.asarray(kx[i:i + 1]), jnp.asarray(ky[i:i + 1]),
