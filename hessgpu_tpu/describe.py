@@ -116,7 +116,7 @@ def _describe_all_pallas(img, x, y, sigma, theta, valid, level_id,
         theta = o_thetas[:, 0]
     desc = descriptor_pallas(
         x, y, sigma, theta, valid, level_id, pstack,
-        wsize=dwin, pad=pad,
+        wsize=dwin, pad=pad, mxu=True,
         window_factor=cfg.descriptor_window_factor, interpret=interpret)
     desc = jnp.where(valid[:, None], desc, 0.0)
     if cfg.half_sift:

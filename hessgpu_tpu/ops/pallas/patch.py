@@ -347,6 +347,9 @@ def descriptor_pallas(
 
     stack: packed pyramid canvas (build_padded_stack).
     Returns (G, 128) float32 (caller applies half-SIFT fold + normalize).
+    Rows whose `valid` flag is 0 are UNSPECIFIED (stale scratch bytes when
+    compiled on real hardware) — callers must mask with `valid`, as
+    pyramid.py and describe.py do.
 
     mxu=True computes each keypoint's 16x8 cell/bin table as one MXU
     dot_general instead of 128 VPU window reductions (see
@@ -520,6 +523,9 @@ def orientation_pallas(
 
     max_peaks: the -m <1..4> cap on orientations per keypoint
     (ProgramCU.cu:1424-1489). Returns (thetas (G, 4), valid (G, 4) bool).
+    Rows whose input `valid` flag is 0 are UNSPECIFIED in both outputs
+    (stale scratch bytes when compiled on real hardware) — callers must
+    mask with `valid`.
     """
     G0 = x.shape[0]
     BK = 8   # keypoints per group (one window scratch buffer per slot)

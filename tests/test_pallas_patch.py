@@ -160,5 +160,8 @@ def test_descriptor_mxu_matches_vpu(scene):
     d0 = descriptor_pallas(*tab, ps, wsize=wsize, pad=pad, interpret=True)
     d1 = descriptor_pallas(*tab, ps, wsize=wsize, pad=pad, mxu=True,
                            interpret=True)
-    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+    # Invalid-slot rows are unspecified (stale scratch bytes when compiled
+    # on real hardware) — only valid rows carry the contract.
+    v = np.asarray(valid).astype(bool)
+    np.testing.assert_allclose(np.asarray(d1)[v], np.asarray(d0)[v],
                                rtol=1e-5, atol=1e-5)
