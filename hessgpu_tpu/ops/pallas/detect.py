@@ -140,8 +140,13 @@ def detect_octave_pallas(
     patch.PackingPlan) instead of materializing (NK, H, W) maps that a
     separate pad/concat pass would re-copy. Returns (maps, grad_planes,
     rot_planes) with the canvases threaded through (input/output
-    aliased). Cell margins may receive write-overshoot junk; window
-    membership masks make margin content irrelevant.
+    aliased). grad_planes/rot_planes may also be jax.ShapeDtypeStruct:
+    the kernel then CREATES the canvases as pure outputs (saves zeroing
+    ~50 MB/image of canvas in HBM - broadcast(0) cost ~1.2 ms/batch at
+    B=16); cells this call does not write hold uninitialized garbage
+    (possibly NaN/Inf bit patterns), which the patch kernels tolerate
+    (orientation masks weights before use; descriptor_pallas sanitizes
+    the rotation window - see patch._descriptor_compute).
     """
     from ..keypoint import KeypointMaps
 
@@ -197,8 +202,10 @@ def detect_octave_pallas(
                  ((0, 0), (0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
                  mode="edge")
 
+    create_canvas = False
     if canvas is not None:
         gradc, rotc, plane_ids, dros, dcos, P = canvas
+        create_canvas = not isinstance(gradc, jnp.ndarray)
         plane_ids = [int(v) for v in plane_ids]
         dros = [int(v) for v in dros]
         dcos = [int(v) for v in dcos]
@@ -207,6 +214,10 @@ def detect_octave_pallas(
         if canvas is None:
             (valid_ref, resp_ref, dx_ref, dy_ref, ds_ref, type_ref,
              grad_ref, rot_ref, gbuf, sem) = refs
+        elif create_canvas:
+            (valid_ref, resp_ref, dx_ref, dy_ref, ds_ref,
+             type_ref, gc_ref, rc_ref, gbuf, gscr, rscr, sem,
+             csem) = refs
         else:
             (_gc_in, _rc_in, valid_ref, resp_ref, dx_ref, dy_ref, ds_ref,
              type_ref, gc_ref, rc_ref, gbuf, gscr, rscr, sem,
@@ -410,6 +421,7 @@ def detect_octave_pallas(
         validk, respk, dxk, dyk, dsk, typek = outs[:6]
         gradk, rotk = outs[6], outs[7]
     else:
+        ops = ((gp,) if create_canvas else (gp, gradc, rotc))
         outs = pl.pallas_call(
             kernel,
             grid=(B, nblk),
@@ -417,7 +429,7 @@ def detect_octave_pallas(
                 [jax.ShapeDtypeStruct((B, NK, H, W), dt) for dt in map_dts]
                 + [jax.ShapeDtypeStruct(gradc.shape, gradc.dtype),
                    jax.ShapeDtypeStruct(rotc.shape, rotc.dtype)]),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ops),
             out_specs=tuple([blockspec] * 6
                             + [pl.BlockSpec(memory_space=pl.ANY)] * 2),
             scratch_shapes=[
@@ -427,9 +439,9 @@ def detect_octave_pallas(
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((NK, 2)),
             ],
-            input_output_aliases={1: 6, 2: 7},
+            input_output_aliases=({} if create_canvas else {1: 6, 2: 7}),
             interpret=interpret,
-        )(gp, gradc, rotc)
+        )(*ops)
         validk, respk, dxk, dyk, dsk, typek = outs[:6]
         gradk, rotk = outs[6], outs[7]   # the canvases, threaded through
     # reference stores responses as packed half floats (ProgramCU.cu:865)

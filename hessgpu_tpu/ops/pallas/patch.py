@@ -256,6 +256,11 @@ def _descriptor_compute(kx, ky, spt, theta, y0f, x0f, h, w, gwin, rwin,
     absolute coordinates so extra gathered pixels contribute nothing.
     """
     rows, cols = gwin.shape
+    # canvas margins may hold NaN/Inf garbage (detect kernel creates the
+    # canvas without zero-fill); masked-out pixels must still yield 0 in
+    # the bin-weight products below (0 * NaN = NaN), so sanitize the
+    # rotation window. gwin needs none: `weight` masks it with where().
+    rwin = jnp.where(jnp.abs(rwin) < 1e30, rwin, 0.0)
     iy = y0f + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) \
         .astype(jnp.float32)
     ix = x0f + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) \

@@ -277,8 +277,15 @@ def _level_trunc_mask(table: GlobalTable, k: int, num_levels: int,
 
 
 def _canvas_setup(octaves, nkey: int, pad: int, batch: Optional[int] = None):
-    """PackingPlan + zeroed grad/rot canvas planes for the detect kernel's
-    direct writes (shared by the single and batched pipelines)."""
+    """PackingPlan + canvas descriptors for the detect kernel's direct
+    writes (shared by the single and batched pipelines).
+
+    Returns (pplan, gradc, rotc) where gradc/rotc are ShapeDtypeStructs:
+    the FIRST kernel-path detect call creates the canvases as pure pallas
+    outputs (skipping ~50 MB/image of zero-fill); later calls thread the
+    real arrays through with input/output aliasing. Unwritten margin
+    cells hold garbage by contract (see detect_octave_pallas docstring).
+    """
     from .ops.pallas.patch import PackingPlan
 
     shapes = []
@@ -286,8 +293,9 @@ def _canvas_setup(octaves, nkey: int, pad: int, batch: Optional[int] = None):
         shapes += [gauss_oct.shape[-2:]] * nkey
     pplan = PackingPlan(shapes, pad)
     n_planes = pplan.num_planes * (1 if batch is None else batch)
-    gradc = jnp.zeros((n_planes, pplan.Hp, pplan.Wp), jnp.float32)
-    return pplan, gradc, jnp.zeros_like(gradc)
+    gradc = jax.ShapeDtypeStruct((n_planes, pplan.Hp, pplan.Wp),
+                                 jnp.float32)
+    return pplan, gradc, gradc
 
 
 def _detect_octave_canvas(gauss_oct, o: int, nkey: int, p, cfg, pplan,
@@ -315,6 +323,11 @@ def _place_maps_in_canvas(pplan, o: int, nkey: int, grad, rot, gradc, rotc,
                           batch: Optional[int] = None):
     """Small (non-kernel) octaves: place jnp grad/rot maps into their
     canvas cells with dynamic_update_slice (vmapped when batched)."""
+    if not isinstance(gradc, jnp.ndarray):
+        # no kernel octave created the canvas yet (tiny input image):
+        # materialize zeros to update into
+        gradc = jnp.zeros(gradc.shape, gradc.dtype)
+        rotc = jnp.zeros(rotc.shape, rotc.dtype)
     if batch is None:
         for li in range(nkey):
             l = o * nkey + li
