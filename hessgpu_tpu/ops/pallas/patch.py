@@ -39,6 +39,11 @@ BINS_PER_RADIAN = 36.0 / TWO_PI
 PI = math.pi
 
 
+def _lroll(a, shift: int):
+    """Circular lane roll (pltpu.roll wants non-negative shifts)."""
+    return pltpu.roll(a, shift % a.shape[-1], a.ndim - 1)
+
+
 def _window_dims(wsize: int):
     """Aligned scratch dims covering a wsize window at any aligned origin."""
     rows = (wsize + 7) // 8 * 8 + 8
@@ -562,9 +567,11 @@ def orientation_pallas(
                 rwin.at[i], sems.at[i, 1]),
         )
 
-    def _one_keypoint(k, i, oi, xs, ys, sigs, lvls, valids, lh, lw,
-                      pln, roff, coff,
-                      grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin, sems):
+    def _slot_votes(k, i, xs, ys, sigs, lvls, valids, lh, lw,
+                    pln, roff, coff,
+                    grad_hbm, rot_hbm, vbuf, gwin, rwin, sems):
+        """Per-slot: window DMA wait + 36-bin votes -> vbuf[i] as a
+        36-periodic lane vector (3.5 copies across the 128 lanes)."""
         is_valid = valids[k] != 0
 
         @pl.when(is_valid)
@@ -613,88 +620,96 @@ def orientation_pallas(
             obin = jnp.clip(obin, 0, 35)
             wt = jnp.where(in_range, gw * jnp.exp(sq * factor), 0.0)
 
-            # 36 vector reductions -> scalar votes; smoothing/peaks run on
-            # scalar registers with static circular indexing (Mosaic has no
-            # dynamic lane extract / small-vector reshape)
             v = [jnp.sum(jnp.where(obin == b, wt, 0.0)) for b in range(36)]
 
-            for _ in range(6):
-                v = [(v[(j - 1) % 36] + v[j] + v[(j + 1) % 36]) / 3.0
-                     for j in range(36)]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            lmod = jnp.remainder(lane, 36)
+            # balanced-tree assembly: the 36 lane-selects are independent
+            # (disjoint lanes), so the adds pipeline instead of forming a
+            # 36-deep serial select chain
+            parts = [jnp.where(lmod == b, v[b], 0.0) for b in range(36)]
+            while len(parts) > 1:
+                parts = [parts[j] + parts[j + 1]
+                         if j + 1 < len(parts) else parts[j]
+                         for j in range(0, len(parts), 2)]
+            vbuf[i:i + 1, :] = parts[0]
 
-            if half_sift:
-                v = [v[j] + v[j + 18] for j in range(18)] + \
-                    [jnp.float32(0.0)] * 18
+    def _group_tail(vbuf, thbuf, ovbuf):
+        """Histogram smoothing + peak selection for a WHOLE group at once
+        on (BK, 128) vregs - rolls/reductions amortize over the 8 slots
+        (a per-slot scalar formulation burned ~2k scalar-core ops per
+        keypoint and dominated the stage). Reading the MIDDLE 36-lane
+        copy gives correct circular neighbours from the adjacent copies;
+        6 smoothing rounds corrupt only 6 lanes from each end. Rows of
+        invalid slots hold stale garbage - their outputs are garbage too,
+        masked by the caller (documented contract)."""
+        hv = vbuf[:, :]                                  # (BK, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BK, 128), 1)
+        lmod = jnp.remainder(lane, 36)
 
-            vmax = v[0]
-            for j in range(1, 36):
-                vmax = jnp.maximum(vmax, v[j])
+        for _ in range(6):
+            # same association as the reference: (pre + cur) + nxt
+            hv = ((_lroll(hv, 1) + hv) + _lroll(hv, -1)) / 3.0
 
-            if single:
-                # first-max argmax + parabolic refinement
-                imax = jnp.int32(0)
-                best = v[0]
-                for j in range(1, 36):
-                    gt = v[j] > best
-                    imax = jnp.where(gt, j, imax)
-                    best = jnp.maximum(best, v[j])
-                pre = jnp.float32(0.0)
-                nxt = jnp.float32(0.0)
-                for j in range(36):
-                    sel = imax == j
-                    pre = jnp.where(sel, v[(j - 1) % 36], pre)
-                    nxt = jnp.where(sel, v[(j + 1) % 36], nxt)
-                off = 0.5 * (nxt - pre) / (best + best - nxt - pre)
-                theta = (imax.astype(jnp.float32) + 0.5 + off) \
-                    / BINS_PER_RADIAN
-                lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
-                th_ref[oi:oi + 1, :] = jnp.where(lane4 == 0, theta, 0.0)
-                ov_ref[oi:oi + 1, :] = jnp.where(lane4 == 0, 1, 0)
-            else:
-                thr = peak_threshold * vmax
-                lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
-                th_row = jnp.zeros((1, 4), jnp.float32)
-                ov_row = jnp.zeros((1, 4), jnp.int32)
-                peak_v = []
-                for j in range(36):
-                    is_pk = (v[j] > thr) & (v[j] > v[(j - 1) % 36]) \
-                        & (v[j] > v[(j + 1) % 36])
-                    peak_v.append(jnp.where(is_pk, v[j], -jnp.float32(1.0)))
-                # select top-max_peaks peaks by vote (ties -> lowest bin,
-                # like the reference's stable insertion sort); lanes past the
-                # -m cap stay zero
-                taken = [jnp.bool_(False)] * 36
-                for slot in range(min(4, max_peaks)):
-                    best = jnp.float32(-1.0)
-                    bi = jnp.int32(-1)
-                    for j in range(36):
-                        cand = jnp.where(taken[j], -jnp.float32(1.0),
-                                         peak_v[j])
-                        gt = cand > best
-                        best = jnp.maximum(best, cand)
-                        bi = jnp.where(gt, j, bi)
-                    ok = best > 0.0
-                    taken = [taken[j] | (bi == j) for j in range(36)]
-                    pre = jnp.float32(0.0)
-                    nxt = jnp.float32(0.0)
-                    vi = jnp.float32(1.0)
-                    for j in range(36):
-                        sel = bi == j
-                        pre = jnp.where(sel, v[(j - 1) % 36], pre)
-                        nxt = jnp.where(sel, v[(j + 1) % 36], nxt)
-                        vi = jnp.where(sel, v[j], vi)
-                    di = 0.5 * (nxt - pre) / (vi + vi - nxt - pre)
-                    rotb = bi.astype(jnp.float32) + di + 0.5
-                    frac = rotb / 36.0
-                    frac = jnp.where(frac < 0, frac + 1.0, frac)
-                    q = jnp.floor(frac * 255.0)
-                    th_row = th_row + jnp.where(
-                        lane4 == slot,
-                        jnp.where(ok, q * (TWO_PI / 255.0), 0.0), 0.0)
-                    ov_row = ov_row + jnp.where(
-                        lane4 == slot, jnp.where(ok, 1, 0), 0)
-                th_ref[oi:oi + 1, :] = th_row
-                ov_ref[oi:oi + 1, :] = ov_row
+        if half_sift:
+            hv = jnp.where(lmod < 18, hv + _lroll(hv, -18), 0.0)
+
+        mid = (lane >= 36) & (lane < 72)
+        neg1 = jnp.float32(-1.0)
+        vmax = jnp.max(jnp.where(mid, hv, neg1), axis=1, keepdims=True)
+
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (BK, 4), 1)
+        if single:
+            # first max = lowest bin on ties (the reference's scan keeps
+            # the first strict maximum) + parabolic refinement
+            imax = jnp.min(jnp.where(mid & (hv == vmax), lmod, 36),
+                           axis=1, keepdims=True)
+            pre = jnp.sum(jnp.where(lane == 35 + imax, hv, 0.0),
+                          axis=1, keepdims=True)
+            nxt = jnp.sum(jnp.where(lane == 37 + imax, hv, 0.0),
+                          axis=1, keepdims=True)
+            best = vmax
+            off = 0.5 * (nxt - pre) / (best + best - nxt - pre)
+            theta = (imax.astype(jnp.float32) + 0.5 + off) \
+                / BINS_PER_RADIAN                        # (BK, 1)
+            thbuf[:, :] = jnp.where(lane4 == 0, theta, 0.0)
+            ovbuf[:, :] = jnp.where(lane4 == 0, 1, 0)
+        else:
+            thr = peak_threshold * vmax
+            is_pk = (hv > thr) & (hv > _lroll(hv, 1)) & (hv > _lroll(hv, -1))
+            peak_v = jnp.where(mid & is_pk, hv, neg1)
+            th_rows = jnp.zeros((BK, 4), jnp.float32)
+            ov_rows = jnp.zeros((BK, 4), jnp.int32)
+            # select top-max_peaks peaks by vote (ties -> lowest bin, like
+            # the reference's stable insertion sort); lanes past the -m
+            # cap stay zero
+            taken = jnp.zeros((BK, 128), jnp.int32)
+            for slot in range(min(4, max_peaks)):
+                cand = jnp.where(taken != 0, neg1, peak_v)
+                best = jnp.max(cand, axis=1, keepdims=True)
+                bi = jnp.min(jnp.where(cand == best, lmod, 36),
+                             axis=1, keepdims=True)
+                ok = best > 0.0
+                taken = taken | (lmod == bi).astype(jnp.int32)
+                pre = jnp.sum(jnp.where(lane == 35 + bi, hv, 0.0),
+                              axis=1, keepdims=True)
+                nxt = jnp.sum(jnp.where(lane == 37 + bi, hv, 0.0),
+                              axis=1, keepdims=True)
+                vi = jnp.sum(jnp.where(lane == 36 + bi, hv, 0.0),
+                             axis=1, keepdims=True)
+                vi = jnp.where(ok, vi, 1.0)
+                di = 0.5 * (nxt - pre) / (vi + vi - nxt - pre)
+                rotb = bi.astype(jnp.float32) + di + 0.5
+                frac = rotb / 36.0
+                frac = jnp.where(frac < 0, frac + 1.0, frac)
+                q = jnp.floor(frac * 255.0)
+                th_rows = th_rows + jnp.where(
+                    lane4 == slot,
+                    jnp.where(ok, q * (TWO_PI / 255.0), 0.0), 0.0)
+                ov_rows = ov_rows + jnp.where(
+                    lane4 == slot, jnp.where(ok, 1, 0), 0)
+            thbuf[:, :] = th_rows
+            ovbuf[:, :] = ov_rows
 
         # invalid slots leave stale buffer bytes on purpose: the caller
         # masks ovalid with `& valid[:, None]` and consumers mask thetas
@@ -708,7 +723,7 @@ def orientation_pallas(
     def kernel(prog_anys, grp_anys, xs, ys, sigs, lvls, valids,
                lh, lw, pln, roff, coff,
                grad_hbm, rot_hbm, th_ref, ov_ref, gwin, rwin,
-               thbuf, ovbuf, sems):
+               vbuf, thbuf, ovbuf, sems):
         kb = pl.program_id(0)
 
         # groups run under a fori_loop (traced ONCE - a 4x unrolled body
@@ -734,10 +749,12 @@ def orientation_pallas(
                         cp_r.start()
 
                 for i in range(BK):
-                    _one_keypoint(base + i, i, i, xs, ys, sigs,
-                                  lvls, valids, lh, lw, pln, roff, coff,
-                                  grad_hbm, rot_hbm, thbuf, ovbuf, gwin,
-                                  rwin, sems)
+                    _slot_votes(base + i, i, xs, ys, sigs,
+                                lvls, valids, lh, lw, pln, roff, coff,
+                                grad_hbm, rot_hbm, vbuf, gwin, rwin, sems)
+
+                # smoothing + peak selection for the whole group at once
+                _group_tail(vbuf, thbuf, ovbuf)
 
                 # all-invalid groups skip even the stores: outputs keep
                 # stale bytes, masked by the caller's `& valid[:, None]`
@@ -767,6 +784,7 @@ def orientation_pallas(
         scratch_shapes=[
             pltpu.VMEM((BK, rows, cols), jnp.float32),
             pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.VMEM((BK, 128), jnp.float32),
             pltpu.VMEM((BK, 4), jnp.float32),
             pltpu.VMEM((BK, 4), jnp.int32),
             pltpu.SemaphoreType.DMA((BK, 2)),
