@@ -14,6 +14,10 @@ reprojection RMSE (sanity: the solver must actually converge on the
 timed problem). vs_baseline is LM iters/s against a 1.0 floor -- one
 full LM iteration per second on a ~50k-parameter problem is the bar a
 CPU Ceres run sets; the reference repo publishes no BA numbers.
+
+Runs on the default accelerator (the TPU when one is attached - the
+north star asks for BA throughput *per chip*); pass --cpu to force the
+host backend, e.g. when the TPU tunnel is down.
 """
 
 import json
@@ -73,7 +77,7 @@ def _make_problem(np, jnp):
 def main():
     import jax
 
-    if "--real" not in sys.argv:
+    if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np

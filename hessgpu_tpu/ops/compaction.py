@@ -33,6 +33,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Per-row candidate cap for the dense two-stage compaction below. The
 # global per-level cap is <= 0.5% of pixels (GlobalUtil.cpp:67-68) and the
@@ -219,7 +220,20 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
     # global key: (row*w + col)<<2 | ftype; invalid -> n<<2 sentinel
     key2 = jnp.where(cand_valid, ((row * w) << 2) + cand, n << 2)
 
-    k2 = min(capacity, h * kpr)
+    p1, p2 = _pack_payload(maps)
+    return _finish_octave_compact(key2, cand_valid, p1, p2, sigmas,
+                                  sigma_step, w, n, capacity)
+
+
+def _finish_octave_compact(key2, cand_valid, p1, p2, sigmas,
+                           sigma_step: float, w: int, n: int,
+                           capacity: int) -> FeatureList:
+    """Shared stage-2 selection + payload pickup: global raster sort of
+    the per-row candidates, gather of the packed payload planes, unpack
+    to the FeatureList fields."""
+    nk = key2.shape[0]
+    h_kpr = key2.shape[1] * key2.shape[2]
+    k2 = min(capacity, h_kpr)
     sel = _first_k_ascending(key2.reshape(nk, -1), k2)   # (NK, k2)
     sv2 = sel < (n << 2)
     src = jnp.where(sv2, sel >> 2, 0)
@@ -231,7 +245,6 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
         jnp.sum(cand_valid.astype(jnp.int32), axis=(1, 2)), capacity)
     sv = jnp.arange(capacity)[None, :] < count[:, None]  # (NK, cap)
 
-    p1, p2 = _pack_payload(maps)
     take = lambda a: jnp.take_along_axis(a.reshape(nk, -1), src, axis=1)
     dx, dy, r, ds = _unpack_payload(take(p1), take(p2))
     x = (src % w).astype(jnp.float32) + 0.5 + dx
@@ -246,6 +259,36 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
         ftype=jnp.where(sv, t, jnp.zeros_like(t)),
         valid=sv,
     )
+
+
+def compact_octave_compressed(key, p1, p2, sigmas, sigma_step: float,
+                              capacity: int) -> FeatureList:
+    """compact_octave_keypoints twin for the detect kernel's COMPRESSED
+    outputs (ops/pallas/detect.py compressed=True): key is the (NK, H, W)
+    u16 sort-key map ((col<<2|ftype) where valid, else the W<<2
+    sentinel), p1/p2 the packed payload planes.
+
+    Stage 1 pair-compresses the key map before the row sort: strict 3x3
+    NMS spaces detections >= 2 px apart, so a disjoint (even, odd) column
+    pair holds at most one valid key and a pairwise min is lossless -
+    the row-candidate sort (the largest GENERATE_FEATURE_LIST op) runs
+    on half the elements at half the width. Membership, payloads, and
+    counts are bit-identical to the maps path (tests pin this).
+    """
+    nk, h, w = key.shape
+    n = h * w
+    kw = key
+    if w % 2:
+        kw = jnp.pad(kw, ((0, 0), (0, 0), (0, 1)),
+                     constant_values=np.uint16(w << 2))
+    kmin = jnp.min(kw.reshape(nk, h, -1, 2), axis=-1)
+    kpr = min((w + 1) // 2, _ROW_CAP)
+    cand = _first_k_ascending(kmin, kpr).astype(jnp.int32)  # (NK, H, kpr)
+    cand_valid = cand < (w << 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nk, h, kpr), 1)
+    key2 = jnp.where(cand_valid, ((row * w) << 2) + cand, n << 2)
+    return _finish_octave_compact(key2, cand_valid, p1, p2, sigmas,
+                                  sigma_step, w, n, capacity)
 
 
 def compact_level_keypoints(maps, sigma: float, sigma_step: float, capacity: int) -> FeatureList:

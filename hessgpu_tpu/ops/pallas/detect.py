@@ -58,6 +58,40 @@ def _atan2(y, x):
     return a
 
 
+def _f16_bits(x):
+    """IEEE f32 -> f16 bit pattern (RNE, subnormals, inf saturation) in
+    vector integer ops - Mosaic has no f32->f16 convert, and the fp16
+    response quantization (ProgramCU.cu:865 parity) must happen inside
+    the kernel so the packed payload plane can be written directly.
+
+    Matches jnp.float16 casting bit-for-bit (tests pin this against the
+    astype path in interpret mode). NaN inputs are not handled (responses
+    are finite by construction)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    sign = jax.lax.shift_right_logical(bits, 16) & 0x8000
+    exp = jax.lax.shift_right_logical(bits, 23) & 0xFF
+    mant = bits & 0x7FFFFF
+
+    # normal f16: exponent exp-112 in [1, 30], RNE on the low 13 bits
+    base = ((exp - 112) << 10) | jax.lax.shift_right_logical(mant, 13)
+    rem = mant & 0x1FFF
+    up = (rem > 0x1000) | ((rem == 0x1000) & ((base & 1) == 1))
+    h_norm = base + up.astype(jnp.int32)
+    h_norm = jnp.where(exp >= 143, 0x7C00, h_norm)   # overflow -> inf
+
+    # subnormal f16 (exp <= 112): bits = RNE(M / 2^s), M = implicit-1
+    # mantissa, s = 126 - exp (>= 14); s > 24 underflows to 0
+    M = mant | 0x800000
+    s = jnp.minimum(126 - exp, 30)
+    base_s = jax.lax.shift_right_logical(M, s)
+    rem_s = M & ((1 << s) - 1)
+    half_s = 1 << (s - 1)
+    up_s = (rem_s > half_s) | ((rem_s == half_s) & ((base_s & 1) == 1))
+    h_sub = base_s + up_s.astype(jnp.int32)
+
+    return jnp.where(exp <= 112, h_sub, h_norm) | sign
+
+
 def _solve3(a0, a1, a2):
     """Vectorized pivoted 3x3 solve (same as ops/keypoint._solve3_pivoted)."""
     def scale_row(row):
@@ -115,6 +149,7 @@ def detect_octave_pallas(
     subpixel: bool = True,
     darkness_adaption: bool = False,
     canvas=None,
+    compressed: bool = False,
     interpret: bool = False,
 ):
     """Fused detection for one octave - ONE kernel launch per octave.
@@ -147,6 +182,16 @@ def detect_octave_pallas(
     (possibly NaN/Inf bit patterns), which the patch kernels tolerate
     (orientation masks weights before use; descriptor_pallas sanitizes
     the rotation window - see patch._descriptor_compute).
+
+    compressed (requires canvas mode, W <= 16383): instead of six
+    (B, NK, H, W) keypoint maps the kernel emits the compaction stage's
+    inputs directly - key (u16: col<<2|ftype where valid, else the W<<2
+    sentinel) and two packed payload planes p1 = q14(dx)<<16|q14(dy),
+    p2 = f16bits(response)<<16|q14(ds) (the exact encoding
+    ops.compaction._pack_payload used to build from the maps in XLA,
+    reading 24 B/px and writing 10 B/px of fusions per level). Returns
+    ((key, p1, p2), grad_planes, rot_planes); feed to
+    compact_octave_compressed.
     """
     from ..keypoint import KeypointMaps
 
@@ -159,6 +204,10 @@ def detect_octave_pallas(
     NK = len(key_levels)
     thr0 = (0.8 if subpixel else 1.0) * threshold
     te = (edge_threshold + 1.0) ** 2 / edge_threshold
+
+    if compressed:
+        assert canvas is not None, "compressed mode requires canvas mode"
+        assert (W << 2) < 0xFFFF, "compressed keys need W <= 16383"
 
     if H < 192 or W < 192:
         assert canvas is None, "canvas mode requires the kernel path"
@@ -211,7 +260,12 @@ def detect_octave_pallas(
         dcos = [int(v) for v in dcos]
 
     def kernel(g_hbm, *refs):
-        if canvas is None:
+        if compressed:
+            if not create_canvas:
+                refs = refs[2:]
+            (key_ref, p1_ref, p2_ref, gc_ref, rc_ref, gbuf, gscr, rscr,
+             sem, csem) = refs
+        elif canvas is None:
             (valid_ref, resp_ref, dx_ref, dy_ref, ds_ref, type_ref,
              grad_ref, rot_ref, gbuf, sem) = refs
         elif create_canvas:
@@ -350,14 +404,27 @@ def detect_octave_pallas(
             ftype = jnp.where(response < 0, jnp.int32(TYPE_SADDLE), blob)
             ftype = jnp.where(valid, ftype, jnp.int32(TYPE_NONE))
 
-            # (fp16 response quantization happens outside the kernel -
-            # Mosaic has no f32->f16 truncation)
-            valid_ref[0, li, :, :] = valid.astype(jnp.int32)
-            resp_ref[0, li, :, :] = jnp.where(valid, response, 0.0)
-            dx_ref[0, li, :, :] = dx
-            dy_ref[0, li, :, :] = dy
-            ds_ref[0, li, :, :] = dssub
-            type_ref[0, li, :, :] = ftype
+            if compressed:
+                # compaction inputs, written directly: u16 sort key plus
+                # the two packed payload planes (s16 fixed-point offsets,
+                # in-kernel f16 response quantization - same encoding as
+                # ops.compaction._pack_payload, which tests pin)
+                keyv = jnp.where(valid, (cols_idx << 2) | ftype,
+                                 jnp.int32(W << 2))
+                key_ref[0, li, :, :] = keyv.astype(jnp.uint16)
+                q14 = lambda a: jnp.round(a * 16384.0).astype(jnp.int32)
+                p1_ref[0, li, :, :] = (q14(dx) << 16) | (q14(dy) & 0xFFFF)
+                p2_ref[0, li, :, :] = (_f16_bits(response) << 16) \
+                    | (q14(dssub) & 0xFFFF)
+            else:
+                # (fp16 response quantization happens outside the kernel
+                # in this mode)
+                valid_ref[0, li, :, :] = valid.astype(jnp.int32)
+                resp_ref[0, li, :, :] = jnp.where(valid, response, 0.0)
+                dx_ref[0, li, :, :] = dx
+                dy_ref[0, li, :, :] = dy
+                ds_ref[0, li, :, :] = dssub
+                type_ref[0, li, :, :] = ftype
 
             # gradient/rotation of the Gaussian at this key level. Canvas
             # mode computes at the full lane-aligned write width Wc >= W:
@@ -422,15 +489,18 @@ def detect_octave_pallas(
         gradk, rotk = outs[6], outs[7]
     else:
         ops = ((gp,) if create_canvas else (gp, gradc, rotc))
+        cm_dts = ((jnp.uint16, jnp.int32, jnp.int32) if compressed
+                  else map_dts)
+        nmaps = len(cm_dts)
         outs = pl.pallas_call(
             kernel,
             grid=(B, nblk),
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((B, NK, H, W), dt) for dt in map_dts]
+                [jax.ShapeDtypeStruct((B, NK, H, W), dt) for dt in cm_dts]
                 + [jax.ShapeDtypeStruct(gradc.shape, gradc.dtype),
                    jax.ShapeDtypeStruct(rotc.shape, rotc.dtype)]),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ops),
-            out_specs=tuple([blockspec] * 6
+            out_specs=tuple([blockspec] * nmaps
                             + [pl.BlockSpec(memory_space=pl.ANY)] * 2),
             scratch_shapes=[
                 pltpu.VMEM((NP, BRH, Wp), jnp.float32),
@@ -439,9 +509,16 @@ def detect_octave_pallas(
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((NK, 2)),
             ],
-            input_output_aliases=({} if create_canvas else {1: 6, 2: 7}),
+            input_output_aliases=({} if create_canvas else
+                                  {1: nmaps, 2: nmaps + 1}),
             interpret=interpret,
         )(*ops)
+        if compressed:
+            key, p1, p2 = outs[:3]
+            gradk, rotk = outs[3], outs[4]
+            if not batched:
+                return (key[0], p1[0], p2[0]), gradk, rotk
+            return (key, p1, p2), gradk, rotk
         validk, respk, dxk, dyk, dsk, typek = outs[:6]
         gradk, rotk = outs[6], outs[7]   # the canvases, threaded through
     # reference stores responses as packed half floats (ProgramCU.cu:865)

@@ -33,6 +33,7 @@ from .features import FeatureTable
 from .ops import gaussian, hessian, keypoint, resize
 from .ops.compaction import (FeatureList, compact_sorted,
                              compact_level_keypoints,
+                             compact_octave_compressed,
                              compact_octave_keypoints)
 from .ops.descriptor import (compute_descriptors_flat,
                              descriptor_window_size)
@@ -299,7 +300,7 @@ def _canvas_setup(octaves, nkey: int, pad: int, batch: Optional[int] = None):
 
 
 def _detect_octave_canvas(gauss_oct, o: int, nkey: int, p, cfg, pplan,
-                          gradc, rotc):
+                          gradc, rotc, compressed: bool = False):
     """Kernel-path detection with grad/rot DMAed into the canvas cells."""
     from .ops.pallas.detect import detect_octave_pallas
 
@@ -312,6 +313,7 @@ def _detect_octave_canvas(gauss_oct, o: int, nkey: int, p, cfg, pplan,
         edge_threshold=p.edge_threshold,
         subpixel=cfg.subpixel,
         darkness_adaption=cfg.darkness_adaption,
+        compressed=compressed,
         canvas=(gradc, rotc,
                 [pplan.plane_of[l] for l in lids],
                 [pplan.dro[l] for l in lids],
@@ -395,20 +397,29 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     for o, gauss_oct in enumerate(octaves):
         oh, ow = gauss_oct.shape[-2:]
         kernel_oct = use_canvas and min(oh, ow) >= 192
+        # compressed kernel outputs: u16 sort key + packed payload planes
+        # straight from the detect kernel (no XLA packing fusions, half
+        # the stage-1 sort) - see detect_octave_pallas
+        comp = kernel_oct and (ow << 2) < 0xFFFF
+        sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         with jax.named_scope("DETECT_KEYPOINTS"):
             if kernel_oct:
                 maps, gradc, rotc = _detect_octave_canvas(
-                    gauss_oct, o, NKEY, p, cfg, pplan, gradc, rotc)
+                    gauss_oct, o, NKEY, p, cfg, pplan, gradc, rotc,
+                    compressed=comp)
             else:
                 maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
                 if use_canvas:
                     gradc, rotc = _place_maps_in_canvas(
                         pplan, o, NKEY, grad, rot, gradc, rotc)
-        sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         with jax.named_scope("GENERATE_FEATURE_LIST"):
             # one blocked list per octave ((NK, cap) leaves)
-            all_lists.append(compact_octave_keypoints(
-                maps, sigmas, sigma_step, plan.level_caps[idx]))
+            if comp:
+                all_lists.append(compact_octave_compressed(
+                    *maps, sigmas, sigma_step, plan.level_caps[idx]))
+            else:
+                all_lists.append(compact_octave_keypoints(
+                    maps, sigmas, sigma_step, plan.level_caps[idx]))
         if not use_canvas:
             for li in range(NKEY):
                 grads.append(grad[li])
@@ -693,22 +704,30 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     for o, gauss_oct in enumerate(octaves):
         oh, ow = gauss_oct.shape[-2:]
         kernel_oct = (cfg.detector == "hessian" and min(oh, ow) >= 192)
+        comp = use_canvas and kernel_oct and (ow << 2) < 0xFFFF
+        sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
+        cap = plan.level_caps[idx]
         with jax.named_scope("DETECT_KEYPOINTS"):
             if use_canvas and kernel_oct:
                 maps, gradc, rotc = _detect_octave_canvas(
-                    gauss_oct, o, NKEY, p, cfg, pplan, gradc, rotc)
+                    gauss_oct, o, NKEY, p, cfg, pplan, gradc, rotc,
+                    compressed=comp)
             else:
                 maps, grad, rot = _detect_octave_batched(gauss_oct, plan,
                                                          cfg)
                 if use_canvas:
                     gradc, rotc = _place_maps_in_canvas(
                         pplan, o, NKEY, grad, rot, gradc, rotc, batch=B)
-        sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
-        cap = plan.level_caps[idx]
         with jax.named_scope("GENERATE_FEATURE_LIST"):
             # one blocked list per octave ((B, NK, cap) leaves)
-            all_lists.append(jax.vmap(lambda ms: compact_octave_keypoints(
-                ms, sigmas, sigma_step, cap))(maps))
+            if comp:
+                all_lists.append(jax.vmap(
+                    lambda k3, q1, q2: compact_octave_compressed(
+                        k3, q1, q2, sigmas, sigma_step, cap))(*maps))
+            else:
+                all_lists.append(jax.vmap(
+                    lambda ms: compact_octave_keypoints(
+                        ms, sigmas, sigma_step, cap))(maps))
         if not use_canvas:
             for li in range(NKEY):
                 grads.append(grad[:, li])

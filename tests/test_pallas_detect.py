@@ -177,3 +177,82 @@ def test_canvas_mode_nonaligned_width():
         np.testing.assert_array_equal(np.asarray(getattr(maps1, f)),
                                       np.asarray(getattr(maps0, f)),
                                       err_msg=f"map field {f}")
+
+def test_compressed_mode_matches_maps_compaction(octave_big):
+    """compressed=True emits the u16 sort key + packed payload planes from
+    the kernel; compact_octave_compressed on them must produce a
+    bit-identical FeatureList to compact_octave_keypoints on the maps."""
+    from hessgpu_tpu.ops.compaction import (compact_octave_compressed,
+                                            compact_octave_keypoints)
+    from hessgpu_tpu.ops.pallas.patch import PackingPlan
+
+    gauss, p = octave_big
+    norms = [(p.level_sigma(l) ** 4) for l in range(p.num_levels)]
+    kw = dict(threshold=p.threshold, edge_threshold=p.edge_threshold,
+              subpixel=True, interpret=True)
+    h, w = gauss.shape[-2:]
+    nk = len(p.key_levels)
+    pplan = PackingPlan([(h, w)] * nk, pad=24)
+    cshape = (pplan.num_planes, pplan.Hp, pplan.Wp)
+    canvas = lambda: (jnp.zeros(cshape, jnp.float32),
+                      jnp.zeros(cshape, jnp.float32),
+                      pplan.plane_of, pplan.dro, pplan.dco,
+                      pplan.num_planes)
+
+    maps0, _, _ = detect_octave_pallas(gauss, norms, p.key_levels,
+                                       canvas=canvas(), **kw)
+    (key, p1, p2), gradc1, rotc1 = detect_octave_pallas(
+        gauss, norms, p.key_levels, canvas=canvas(), compressed=True, **kw)
+
+    assert key.dtype == jnp.uint16
+    sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
+    fl0 = compact_octave_keypoints(maps0, sigmas, p.sigmak, 256)
+    fl1 = compact_octave_compressed(key, p1, p2, sigmas, p.sigmak, 256)
+    assert int(fl0.count().sum()) > 10
+    for f in fl0._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(fl1, f)),
+                                      np.asarray(getattr(fl0, f)),
+                                      err_msg=f"field {f}")
+
+    # canvas cells still written correctly in compressed mode
+    maps_plain, grad0, rot0 = detect_octave_pallas(gauss, norms,
+                                                   p.key_levels, **kw)
+    for li in range(nk):
+        pi, ro, co = pplan.plane_of[li], pplan.dro[li], pplan.dco[li]
+        np.testing.assert_array_equal(
+            np.asarray(gradc1[pi, ro:ro + h, co:co + w]),
+            np.asarray(grad0[li]), err_msg=f"grad cell level {li}")
+
+
+def test_compressed_mode_odd_width():
+    """Odd W exercises the sentinel pad before pair-min."""
+    from hessgpu_tpu.ops.compaction import (compact_octave_compressed,
+                                            compact_octave_keypoints)
+    from hessgpu_tpu.ops.pallas.patch import PackingPlan
+
+    rng = np.random.RandomState(11)
+    base = jnp.asarray(rng.rand(192, 257).astype(np.float32))
+    p = ScaleSpaceParams()
+    gauss = build_octave_chain(base, p)
+    norms = [(p.level_sigma(l) ** 4) for l in range(p.num_levels)]
+    kw = dict(threshold=p.threshold, edge_threshold=p.edge_threshold,
+              subpixel=True, interpret=True)
+    h, w = gauss.shape[-2:]
+    nk = len(p.key_levels)
+    pplan = PackingPlan([(h, w)] * nk, pad=24)
+    cshape = (pplan.num_planes, pplan.Hp, pplan.Wp)
+    canvas = lambda: (jnp.zeros(cshape, jnp.float32),
+                      jnp.zeros(cshape, jnp.float32),
+                      pplan.plane_of, pplan.dro, pplan.dco,
+                      pplan.num_planes)
+    maps0, _, _ = detect_octave_pallas(gauss, norms, p.key_levels,
+                                       canvas=canvas(), **kw)
+    (key, p1, p2), _, _ = detect_octave_pallas(
+        gauss, norms, p.key_levels, canvas=canvas(), compressed=True, **kw)
+    sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
+    fl0 = compact_octave_keypoints(maps0, sigmas, p.sigmak, 128)
+    fl1 = compact_octave_compressed(key, p1, p2, sigmas, p.sigmak, 128)
+    for f in fl0._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(fl1, f)),
+                                      np.asarray(getattr(fl0, f)),
+                                      err_msg=f"field {f}")
