@@ -150,6 +150,7 @@ def detect_octave_pallas(
     darkness_adaption: bool = False,
     canvas=None,
     compressed: bool = False,
+    detector: str = "hessian",
     interpret: bool = False,
 ):
     """Fused detection for one octave - ONE kernel launch per octave.
@@ -192,6 +193,13 @@ def detect_octave_pallas(
     reading 24 B/px and writing 10 B/px of fusions per level). Returns
     ((key, p1, p2), grad_planes, rot_planes); feed to
     compact_octave_compressed.
+
+    detector: "hessian" (det-of-Hessian response, sign-consistent NMS,
+    saddle/blob typing) or "dog" (the SIFT personality: response[l] =
+    gauss[l+1] - gauss[l], plain NMS, bright/dark typing by extremum
+    sign - ComputeDOG_Kernel + GPU_SIFT_MODIFIED ComputeKEY,
+    ProgramCU.cu:599-653, 852-853). Both personalities share every other
+    stage of this kernel, exactly as the reference's pipeline does.
     """
     from ..keypoint import KeypointMaps
 
