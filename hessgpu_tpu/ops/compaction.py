@@ -261,6 +261,91 @@ def _finish_octave_compact(key2, cand_valid, p1, p2, sigmas,
     )
 
 
+class PackedList(NamedTuple):
+    """Fixed-capacity keypoint list in PACKED form: one i32 per slot,
+    row<<20 | col<<8 | lid<<2 | ftype (requires h, w <= 4096).
+
+    Defers the payload pickup: instead of gathering the packed payload
+    planes at every per-octave capacity slot (sum(caps) ~ 6240/frame,
+    ~12 ns/element on the TPU scalar core), the global compaction sorts
+    these single-operand lists and gathers payloads ONCE at the global
+    cap (pyramid._globalize_packed)."""
+    packed: jnp.ndarray   # (NK, cap) i32
+    valid: jnp.ndarray    # (NK, cap) bool
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+
+def _finish_octave_packed(key2, cand_valid, w: int, n: int, capacity: int,
+                          lid_base: int) -> PackedList:
+    """Stage-2 selection -> PackedList (no payload gathers)."""
+    nk = key2.shape[0]
+    k2 = min(capacity, key2.shape[1] * key2.shape[2])
+    sel = _first_k_ascending(key2.reshape(nk, -1), k2)
+    sv2 = sel < (n << 2)
+    src = jnp.where(sv2, sel >> 2, 0)
+    t = jnp.where(sv2, sel & 3, 0)
+    if k2 < capacity:
+        src = jnp.pad(src, ((0, 0), (0, capacity - k2)))
+        t = jnp.pad(t, ((0, 0), (0, capacity - k2)))
+    count = jnp.minimum(
+        jnp.sum(cand_valid.astype(jnp.int32), axis=(1, 2)), capacity)
+    sv = jnp.arange(capacity)[None, :] < count[:, None]
+    lid = lid_base + jnp.arange(nk, dtype=jnp.int32)[:, None]
+    packed = ((src // w) << 20) | ((src % w) << 8) | (lid << 2) | t
+    return PackedList(packed=jnp.where(sv, packed, 0), valid=sv)
+
+
+def compact_octave_compressed_packed(key, lid_base: int,
+                                     capacity: int) -> PackedList:
+    """compact_octave_compressed twin returning a PackedList (payload
+    pickup deferred to the global compaction)."""
+    nk, h, w = key.shape
+    assert h <= 4096 and w <= 4096, "packed lists need 12-bit row/col"
+    n = h * w
+    kw = key
+    if w % 2:
+        kw = jnp.pad(kw, ((0, 0), (0, 0), (0, 1)),
+                     constant_values=np.uint16(w << 2))
+    kmin = jnp.min(kw.reshape(nk, h, -1, 2), axis=-1)
+    kpr = min((w + 1) // 2, _ROW_CAP)
+    cand = _first_k_ascending(kmin, kpr).astype(jnp.int32)
+    cand_valid = cand < (w << 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nk, h, kpr), 1)
+    key2 = jnp.where(cand_valid, ((row * w) << 2) + cand, n << 2)
+    return _finish_octave_packed(key2, cand_valid, w, n, capacity, lid_base)
+
+
+def compact_octave_maps_packed(maps, lid_base: int, capacity: int):
+    """compact_octave_keypoints twin for the packed/deferred-payload
+    path: returns (PackedList, p1_plane, p2_plane) - the payload planes
+    ((NK, H, W) i32 each) join the flat global payload buffer and are
+    gathered only at the global cap. Used for small (non-kernel) octaves
+    so the whole pipeline shares one globalization scheme."""
+    if isinstance(maps, list):
+        maps = jax.tree.map(lambda *xs: jnp.stack(xs), *maps)
+    valid3 = maps.valid
+    nk, h, w = valid3.shape
+    assert h <= 4096 and w <= 4096, "packed lists need 12-bit row/col"
+    n = h * w
+
+    kpr = min(w, _ROW_CAP)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nk, h, w), 2)
+    key1 = jnp.where(valid3, (col << 2) | (maps.ftype & 3), w << 2)
+    if (w << 2) < 0xFFFF:
+        cand = _first_k_ascending(key1.astype(jnp.uint16), kpr) \
+            .astype(jnp.int32)
+    else:
+        cand = _first_k_ascending(key1, kpr)
+    cand_valid = cand < (w << 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nk, h, kpr), 1)
+    key2 = jnp.where(cand_valid, ((row * w) << 2) + cand, n << 2)
+    p1, p2 = _pack_payload(maps)
+    return (_finish_octave_packed(key2, cand_valid, w, n, capacity,
+                                  lid_base), p1, p2)
+
+
 def compact_octave_compressed(key, p1, p2, sigmas, sigma_step: float,
                               capacity: int) -> FeatureList:
     """compact_octave_keypoints twin for the detect kernel's COMPRESSED

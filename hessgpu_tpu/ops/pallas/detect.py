@@ -203,6 +203,8 @@ def detect_octave_pallas(
     """
     from ..keypoint import KeypointMaps
 
+    assert detector in ("hessian", "dog"), detector
+    is_hessian = detector == "hessian"
     batched = gauss_oct.ndim == 4
     if not batched:
         gauss_oct = gauss_oct[None]
@@ -225,13 +227,21 @@ def detect_octave_pallas(
         from ..keypoint import detect_keypoints_level
 
         def one(g):
-            resp, grad, rot = hops.hessian_response_and_gradient(
-                g, norms, grad_levels=key_levels)
+            if is_hessian:
+                resp, grad, rot = hops.hessian_response_and_gradient(
+                    g, norms, grad_levels=key_levels)
+            else:
+                resp, grad, rot = hops.dog_response_and_gradient(g)
             maps = [detect_keypoints_level(
                 resp[kl - 1], resp[kl], resp[kl + 1], g[kl],
                 threshold=threshold, edge_threshold=edge_threshold,
-                subpixel=subpixel, hessian=True,
+                subpixel=subpixel, hessian=is_hessian,
                 darkness_adaption=darkness_adaption) for kl in key_levels]
+            if not is_hessian:
+                # DoG gradients come from gauss[1:]; realign so grad[kl]
+                # is the key level's gradient (same as pyramid._detect_octave)
+                grad = jnp.concatenate([grad[:1], grad], axis=0)
+                rot = jnp.concatenate([rot[:1], rot], axis=0)
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *maps)
             grad_k = jnp.stack([grad[kl] for kl in key_levels])
             rot_k = jnp.stack([rot[kl] for kl in key_levels])
@@ -251,7 +261,9 @@ def detect_octave_pallas(
     # at col 3, so guarantee Wc + 4 columns even when W is not lane-aligned
     Wp = (max(W, Wc) + 2 + 2 + 127) // 128 * 128
     p_lo = key_levels[0] - 1
-    NP = key_levels[-1] + 2 - p_lo    # planes spanned by all 3x3x3 tests
+    # Gaussian planes spanned by all 3x3x3 tests: DoG response kl+1 reads
+    # gauss[kl+2], one plane past the Hessian span
+    NP = key_levels[-1] + (2 if is_hessian else 3) - p_lo
 
     # edge-pad (2 px left/top; bottom/right up to the aligned extents)
     bot = nblk * BRD + BRH - (H + 2)
@@ -315,7 +327,15 @@ def detect_octave_pallas(
                 * 0.25
             return (lxx * lyy - lxy * lxy) * norms[p_lo + pi]
 
-        resps = [resp_at(i) for i in range(NP)]
+        def dog_at(pi):
+            # DoG response index p_lo + pi = gauss[p_lo+pi+1] - gauss[p_lo+pi]
+            # (ops/hessian.dog_response_and_gradient convention)
+            return g[pi + 1][1:-1, 1:-1] - g[pi][1:-1, 1:-1]
+
+        if is_hessian:
+            resps = [resp_at(i) for i in range(NP)]
+        else:
+            resps = [dog_at(i) for i in range(NP - 1)]
 
         def crop(a, di, dj):
             # a indexed like resp; value at (output row j + di, col cc + dj)
@@ -350,8 +370,13 @@ def detect_octave_pallas(
 
             lr_max = jnp.maximum(left, right)
             lr_min = jnp.minimum(left, right)
-            is_max = (v > lr_max) & (v >= rest_max) & (v >= 0)
-            is_min = (v < lr_min) & (v <= rest_min) & (v <= 0)
+            is_max = (v > lr_max) & (v >= rest_max)
+            is_min = (v < lr_min) & (v <= rest_min)
+            if is_hessian:
+                # Hessian extrema must be sign-consistent
+                # (ProgramCU.cu:663-677)
+                is_max &= v >= 0
+                is_min &= v <= 0
 
             gl = g[kl - p_lo]  # the key level's Gaussian plane
             if darkness_adaption:
@@ -401,15 +426,22 @@ def detect_octave_pallas(
 
             valid = extremum & interior
 
-            gc = gl[2:2 + BRD, 2:2 + W]
-            gleft = gl[2:2 + BRD, 1:1 + W]
-            gright = gl[2:2 + BRD, 3:3 + W]
-            g_lxx = gleft - 2.0 * gc + gright
-            # int32 constants: weak-typed literals make i8 selects, which
-            # Mosaic cannot truncate masks for
-            blob = jnp.where(g_lxx > 0, jnp.int32(TYPE_DARK_BLOB),
-                             jnp.int32(TYPE_BRIGHT_BLOB))
-            ftype = jnp.where(response < 0, jnp.int32(TYPE_SADDLE), blob)
+            if is_hessian:
+                gc = gl[2:2 + BRD, 2:2 + W]
+                gleft = gl[2:2 + BRD, 1:1 + W]
+                gright = gl[2:2 + BRD, 3:3 + W]
+                g_lxx = gleft - 2.0 * gc + gright
+                # int32 constants: weak-typed literals make i8 selects,
+                # which Mosaic cannot truncate masks for
+                blob = jnp.where(g_lxx > 0, jnp.int32(TYPE_DARK_BLOB),
+                                 jnp.int32(TYPE_BRIGHT_BLOB))
+                ftype = jnp.where(response < 0, jnp.int32(TYPE_SADDLE),
+                                  blob)
+            else:
+                # DoG personality: maxima bright, minima dark
+                # (GPU_SIFT_MODIFIED branch, ProgramCU.cu:852-853)
+                ftype = jnp.where(is_max, jnp.int32(TYPE_BRIGHT_BLOB),
+                                  jnp.int32(TYPE_DARK_BLOB))
             ftype = jnp.where(valid, ftype, jnp.int32(TYPE_NONE))
 
             if compressed:

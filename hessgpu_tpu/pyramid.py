@@ -31,10 +31,12 @@ from .config import (SiftConfig, TRUNCATE_KEEP_HIGHEST_LEVELS,
                      TRUNCATE_KEEP_LOWEST_LEVELS, TRUNCATE_TOP_K)
 from .features import FeatureTable
 from .ops import gaussian, hessian, keypoint, resize
-from .ops.compaction import (FeatureList, compact_sorted,
+from .ops.compaction import (FeatureList, _unpack_payload, compact_sorted,
                              compact_level_keypoints,
                              compact_octave_compressed,
-                             compact_octave_keypoints)
+                             compact_octave_compressed_packed,
+                             compact_octave_keypoints,
+                             compact_octave_maps_packed)
 from .ops.descriptor import (compute_descriptors_flat,
                              descriptor_window_size)
 from .ops.orientation import compute_orientations_flat
@@ -136,6 +138,16 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
     return octaves
 
 
+def _detect_norms(p, cfg: SiftConfig):
+    """Per-level response norms: sigma^4 for the Hessian personality
+    (the reference's octave term is deliberately disabled,
+    PyramidCU.cpp:1569-1589); unused (1.0) for DoG."""
+    if cfg.detector == "hessian":
+        return [(p.level_sigma(l) ** 4)
+                for l in range(p.level_min, p.level_max + 1)]
+    return [1.0] * p.num_levels
+
+
 def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
                    cfg: SiftConfig):
     """Response + gradients + keypoint maps for one octave.
@@ -144,19 +156,17 @@ def _detect_octave(gauss_oct: jnp.ndarray, plan: PipelinePlan,
     stacked over key levels ((NK, H, W) - row i = key level
     p.key_levels[i]), grad_k/rot_k are the per-KEY-level gradient maps."""
     p = cfg.scale_params()
+    if cfg.use_pallas and jax.default_backend() != "cpu":
+        from .ops.pallas.detect import detect_octave_pallas
+        return detect_octave_pallas(
+            gauss_oct, _detect_norms(p, cfg), p.key_levels,
+            threshold=p.threshold, edge_threshold=p.edge_threshold,
+            subpixel=cfg.subpixel,
+            darkness_adaption=cfg.darkness_adaption,
+            detector=cfg.detector)
     if cfg.detector == "hessian":
-        # Per-level norm = sigma^4, same across octaves (the reference's
-        # octave term is deliberately disabled, PyramidCU.cpp:1569-1589).
-        norms = [(p.level_sigma(l) ** 4) for l in range(p.level_min, p.level_max + 1)]
-        if cfg.use_pallas and jax.default_backend() != "cpu":
-            from .ops.pallas.detect import detect_octave_pallas
-            return detect_octave_pallas(
-                gauss_oct, norms, p.key_levels,
-                threshold=p.threshold, edge_threshold=p.edge_threshold,
-                subpixel=cfg.subpixel,
-                darkness_adaption=cfg.darkness_adaption)
         resp, grad, rot = hessian.hessian_response_and_gradient(
-            gauss_oct, norms, grad_levels=p.key_levels)
+            gauss_oct, _detect_norms(p, cfg), grad_levels=p.key_levels)
     else:
         resp, grad, rot = hessian.dog_response_and_gradient(gauss_oct)
 
@@ -232,6 +242,61 @@ def _globalize(lists: List[FeatureList], cap: int) -> GlobalTable:
                        level_id=lf >> 2, valid=slot_valid)
 
 
+def _flat_level_tables(plan: PipelinePlan, nkey: int):
+    """Per-global-level (width, flat base offset) into the concatenated
+    payload buffer (octave-major, level-major within octave)."""
+    level_w, level_base = [], []
+    base = 0
+    for (h, w) in plan.octave_shapes:
+        for r in range(nkey):
+            level_w.append(w)
+            level_base.append(base + r * h * w)
+        base += nkey * h * w
+    return level_w, level_base
+
+
+def _globalize_packed(plists, flat_p1, flat_p2, level_w, level_base,
+                      level_sigmas, sigma_step: float,
+                      cap: int) -> GlobalTable:
+    """_globalize twin for PackedLists with DEFERRED payload pickup.
+
+    The per-octave lists carry one packed i32 per slot; the global sort
+    moves only (key, packed) instead of six operands, and the payload
+    planes are gathered ONCE at the global cap (cap slots) instead of at
+    every per-octave capacity slot (sum(caps) ~ 3x more scalar-core
+    gathers). Per-level constants resolve through 15-way select chains
+    (vector ops), not gathers. Field values are bit-identical to
+    _globalize on the eager lists (tests pin this).
+    """
+    valid = jnp.concatenate([fl.valid.reshape(-1) for fl in plists])
+    packed = jnp.concatenate([fl.packed.reshape(-1) for fl in plists])
+    cnt, outs, slot_valid = compact_sorted(valid, [packed], cap)
+    pk = outs[0]
+    lid = jax.lax.shift_right_logical(pk, 2) & 0x3F
+    rowv = jax.lax.shift_right_logical(pk, 20)
+    colv = jax.lax.shift_right_logical(pk, 8) & 0xFFF
+
+    def lut(vals, dtype):
+        out = jnp.full(pk.shape, vals[0], dtype)
+        for l in range(1, len(vals)):
+            out = jnp.where(lid == l, jnp.asarray(vals[l], dtype), out)
+        return out
+
+    wv = lut(level_w, jnp.int32)
+    basev = lut(level_base, jnp.int32)
+    sigv = lut(level_sigmas, jnp.float32)
+    fsrc = basev + rowv * wv + colv
+    dx, dy, resp, ds = _unpack_payload(flat_p1[fsrc], flat_p2[fsrc])
+    x = colv.astype(jnp.float32) + 0.5 + dx
+    y = rowv.astype(jnp.float32) + 0.5 + dy
+    sig = sigv * jnp.power(sigma_step, ds)
+    z = lambda a: jnp.where(slot_valid, a, jnp.zeros_like(a))
+    return GlobalTable(
+        x=z(x), y=z(y), sigma=z(sig), theta=jnp.zeros_like(x),
+        response=z(resp), ftype=jnp.where(slot_valid, pk & 3, 0),
+        level_id=jnp.where(slot_valid, lid, 0), valid=slot_valid)
+
+
 def _recompact(table: GlobalTable, keep: jnp.ndarray, cap: int) -> GlobalTable:
     lidft = (table.level_id << 2) | (table.ftype & 3)
     cnt, outs, slot_valid = compact_sorted(
@@ -305,14 +370,13 @@ def _detect_octave_canvas(gauss_oct, o: int, nkey: int, p, cfg, pplan,
     from .ops.pallas.detect import detect_octave_pallas
 
     lids = [o * nkey + li for li in range(nkey)]
-    norms = [(p.level_sigma(l) ** 4)
-             for l in range(p.level_min, p.level_max + 1)]
     return detect_octave_pallas(
-        gauss_oct, norms, p.key_levels,
+        gauss_oct, _detect_norms(p, cfg), p.key_levels,
         threshold=p.threshold,
         edge_threshold=p.edge_threshold,
         subpixel=cfg.subpixel,
         darkness_adaption=cfg.darkness_adaption,
+        detector=cfg.detector,
         compressed=compressed,
         canvas=(gradc, rotc,
                 [pplan.plane_of[l] for l in lids],
@@ -382,15 +446,21 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     # jnp/pallas equivalence is covered by tests/test_pallas_patch.py).
     interpret = jax.default_backend() == "cpu"
     use_pallas = cfg.use_pallas and not interpret
-    # hessian personality on device: the detect kernel writes grad/rot
-    # blocks straight into the PackedStack canvas (see run_pipeline_batched)
-    use_canvas = use_pallas and cfg.detector == "hessian"
+    # on device the detect kernel writes grad/rot blocks straight into
+    # the PackedStack canvas (see run_pipeline_batched); both detector
+    # personalities share the kernel (detector= selects the response)
+    use_canvas = use_pallas
     if use_canvas:
         from .ops.pallas.patch import PackedStack
         pplan, gradc, rotc = _canvas_setup(octaves, NKEY, pad)
 
     # ---- detection + per-level compaction (cheap scatters) -------------------
+    # packed lists + deferred payload pickup (see _globalize_packed)
+    use_packed = use_canvas and all(
+        h <= 4096 and w <= 4096 for (h, w) in plan.octave_shapes)
     all_lists: List[FeatureList] = []
+    pay1: List[jnp.ndarray] = []
+    pay2: List[jnp.ndarray] = []
     grads: List[jnp.ndarray] = []
     rots: List[jnp.ndarray] = []
     idx = 0
@@ -414,12 +484,24 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
                         pplan, o, NKEY, grad, rot, gradc, rotc)
         with jax.named_scope("GENERATE_FEATURE_LIST"):
             # one blocked list per octave ((NK, cap) leaves)
-            if comp:
+            cap = plan.level_caps[idx]
+            if use_packed:
+                if comp:
+                    key, p1, p2 = maps
+                    all_lists.append(compact_octave_compressed_packed(
+                        key, idx, cap))
+                else:
+                    plist, p1, p2 = compact_octave_maps_packed(maps, idx,
+                                                               cap)
+                    all_lists.append(plist)
+                pay1.append(p1.reshape(-1))
+                pay2.append(p2.reshape(-1))
+            elif comp:
                 all_lists.append(compact_octave_compressed(
-                    *maps, sigmas, sigma_step, plan.level_caps[idx]))
+                    *maps, sigmas, sigma_step, cap))
             else:
                 all_lists.append(compact_octave_keypoints(
-                    maps, sigmas, sigma_step, plan.level_caps[idx]))
+                    maps, sigmas, sigma_step, cap))
         if not use_canvas:
             for li in range(NKEY):
                 grads.append(grad[li])
@@ -434,7 +516,15 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
         level_counts = jnp.concatenate(
             [fl.count() for fl in all_lists], axis=-1)
         G = min(cfg.global_feature_cap, sum(plan.level_caps))
-        table = _globalize(all_lists, G)
+        if use_packed:
+            lw_t, lb_t = _flat_level_tables(plan, NKEY)
+            sig_t = [p.key_level_sigma(kl) for kl in p.key_levels] \
+                * plan.num_octaves
+            table = _globalize_packed(
+                all_lists, jnp.concatenate(pay1), jnp.concatenate(pay2),
+                lw_t, lb_t, sig_t, sigma_step, G)
+        else:
+            table = _globalize(all_lists, G)
         pre_count = table.count()
 
     if not use_pallas:
@@ -634,19 +724,17 @@ def _detect_octave_batched(gauss_oct: jnp.ndarray, plan: PipelinePlan,
                            cfg: SiftConfig):
     """(B, L, H, W) batched octave detection.
 
-    The hessian-personality Pallas kernel grids over (B, row-blocks)
-    natively; other paths (DoG, CPU) vmap the XLA formulation."""
+    The Pallas detect kernel (both personalities) grids over
+    (B, row-blocks) natively; the CPU path vmaps the XLA formulation."""
     p = cfg.scale_params()
-    if cfg.detector == "hessian" and cfg.use_pallas \
-            and jax.default_backend() != "cpu":
+    if cfg.use_pallas and jax.default_backend() != "cpu":
         from .ops.pallas.detect import detect_octave_pallas
-        norms = [(p.level_sigma(l) ** 4)
-                 for l in range(p.level_min, p.level_max + 1)]
         return detect_octave_pallas(
-            gauss_oct, norms, p.key_levels,
+            gauss_oct, _detect_norms(p, cfg), p.key_levels,
             threshold=p.threshold, edge_threshold=p.edge_threshold,
             subpixel=cfg.subpixel,
-            darkness_adaption=cfg.darkness_adaption)
+            darkness_adaption=cfg.darkness_adaption,
+            detector=cfg.detector)
     return jax.vmap(lambda g: _detect_octave(g, plan, cfg))(gauss_oct)
 
 
@@ -689,21 +777,25 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
 
     from .ops.pallas.patch import (PackedStack, build_padded_stack,
                                    descriptor_pallas, orientation_pallas)
-    # hessian personality: the detect kernel writes gradient/rotation
+    # the detect kernel (both personalities) writes gradient/rotation
     # blocks STRAIGHT into the PackedStack canvas cells (no (NK, H, W)
     # intermediates, no pad/concat canvas build - that copy pass cost
     # ~2 ms/batch at B=16)
-    use_canvas = cfg.detector == "hessian"
-    if use_canvas:
-        pplan, gradc, rotc = _canvas_setup(octaves, NKEY, pad, batch=B)
+    use_canvas = True
+    pplan, gradc, rotc = _canvas_setup(octaves, NKEY, pad, batch=B)
 
+    # packed lists + deferred payload pickup (see _globalize_packed)
+    use_packed = use_canvas and all(
+        h <= 4096 and w <= 4096 for (h, w) in plan.octave_shapes)
     all_lists: List[FeatureList] = []
+    pay1: List[jnp.ndarray] = []
+    pay2: List[jnp.ndarray] = []
     grads: List[jnp.ndarray] = []
     rots: List[jnp.ndarray] = []
     idx = 0
     for o, gauss_oct in enumerate(octaves):
         oh, ow = gauss_oct.shape[-2:]
-        kernel_oct = (cfg.detector == "hessian" and min(oh, ow) >= 192)
+        kernel_oct = min(oh, ow) >= 192
         comp = use_canvas and kernel_oct and (ow << 2) < 0xFFFF
         sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
         cap = plan.level_caps[idx]
@@ -720,7 +812,20 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
                         pplan, o, NKEY, grad, rot, gradc, rotc, batch=B)
         with jax.named_scope("GENERATE_FEATURE_LIST"):
             # one blocked list per octave ((B, NK, cap) leaves)
-            if comp:
+            if use_packed:
+                if comp:
+                    key, p1, p2 = maps
+                    all_lists.append(jax.vmap(
+                        lambda k3: compact_octave_compressed_packed(
+                            k3, idx, cap))(key))
+                else:
+                    plist, p1, p2 = jax.vmap(
+                        lambda ms: compact_octave_maps_packed(
+                            ms, idx, cap))(maps)
+                    all_lists.append(plist)
+                pay1.append(p1.reshape(B, -1))
+                pay2.append(p2.reshape(B, -1))
+            elif comp:
                 all_lists.append(jax.vmap(
                     lambda k3, q1, q2: compact_octave_compressed(
                         k3, q1, q2, sigmas, sigma_step, cap))(*maps))
@@ -738,7 +843,17 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
         level_counts = jnp.concatenate(
             [fl.count() for fl in all_lists], axis=-1)
         G = min(cfg.global_feature_cap, sum(plan.level_caps))
-        table = jax.vmap(lambda ls: _globalize(ls, G))(all_lists)
+        if use_packed:
+            lw_t, lb_t = _flat_level_tables(plan, NKEY)
+            sig_t = [p.key_level_sigma(kl) for kl in p.key_levels] \
+                * plan.num_octaves
+            table = jax.vmap(
+                lambda ls, f1, f2: _globalize_packed(
+                    ls, f1, f2, lw_t, lb_t, sig_t, sigma_step, G))(
+                tuple(all_lists), jnp.concatenate(pay1, axis=1),
+                jnp.concatenate(pay2, axis=1))
+        else:
+            table = jax.vmap(lambda ls: _globalize(ls, G))(all_lists)
         pre_count = jnp.sum(table.valid.astype(jnp.int32), axis=-1)
 
     if cfg.feature_count_threshold > 0:

@@ -55,6 +55,65 @@ def test_fused_detect_matches_reference(octave, subpixel):
                                    np.asarray(rot[kl]), atol=1e-5)
 
 
+@pytest.mark.parametrize("subpixel", [True, False])
+def test_fused_detect_dog_matches_reference(subpixel):
+    """detector="dog" shares the kernel; parity vs the XLA DoG path
+    (response = gauss[l+1]-gauss[l], plain NMS, bright/dark typing)."""
+    import jax
+    from hessgpu_tpu.ops.hessian import dog_response_and_gradient
+
+    rng = np.random.RandomState(13)
+    p = ScaleSpaceParams(detector="dog")
+    # blurred noise almost never yields 3D scale-space extrema (adjacent
+    # DoG levels are too correlated); use a field of random-scale blobs,
+    # the structure DoG is built to detect
+    yy, xx = np.mgrid[0:200, 0:256].astype(np.float32)
+    base_np = np.zeros((200, 256), np.float32)
+    for _ in range(80):
+        cy, cx = rng.uniform(8, 192), rng.uniform(8, 248)
+        s = rng.uniform(1.5, 6.0)
+        a = rng.choice([-1.0, 1.0]) * rng.uniform(0.4, 1.0)
+        base_np += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                              / (2 * s * s))
+    base = jnp.asarray(base_np * 0.5 + 0.5)
+    gauss = build_octave_chain(base, p)
+    assert gauss.shape[0] == p.num_levels
+    norms = [1.0] * p.num_levels
+    thr = p.threshold
+    maps_p, grad_p, rot_p = detect_octave_pallas(
+        gauss, norms, p.key_levels, threshold=thr,
+        edge_threshold=p.edge_threshold, subpixel=subpixel,
+        detector="dog", interpret=True)
+
+    resp, grad, rot = dog_response_and_gradient(gauss)
+    # realign: grad[i] belongs to gauss[i+1] (pyramid._detect_octave)
+    grad = jnp.concatenate([grad[:1], grad], axis=0)
+    rot = jnp.concatenate([rot[:1], rot], axis=0)
+    for i, kl in enumerate(p.key_levels):
+        want = detect_keypoints_level(
+            resp[kl - 1], resp[kl], resp[kl + 1], gauss[kl],
+            threshold=thr, edge_threshold=p.edge_threshold,
+            subpixel=subpixel, hessian=False)
+        got = jax.tree.map(lambda a: a[i], maps_p)
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(want.valid),
+                                      err_msg=f"level {kl}")
+        v = np.asarray(want.valid)
+        assert v.sum() > 5, f"level {kl} found no keypoints"
+        np.testing.assert_allclose(np.asarray(got.response)[v],
+                                   np.asarray(want.response)[v], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.dx)[v],
+                                   np.asarray(want.dx)[v], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.ds)[v],
+                                   np.asarray(want.ds)[v], atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(got.ftype)[v],
+                                      np.asarray(want.ftype)[v])
+        np.testing.assert_allclose(np.asarray(grad_p[i]),
+                                   np.asarray(grad[kl]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rot_p[i]),
+                                   np.asarray(rot[kl]), atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def octave_big():
     rng = np.random.RandomState(5)
