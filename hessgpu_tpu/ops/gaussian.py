@@ -58,6 +58,7 @@ def conv1d_valid(x: jnp.ndarray, taps: Sequence[float], axis: int) -> jnp.ndarra
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(shape[:-2] + out_hw)
 
@@ -123,6 +124,7 @@ def build_octave_direct(base: jnp.ndarray, params: ScaleSpaceParams) -> jnp.ndar
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=nlev,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     rhs_v = jnp.asarray(taps_mat).reshape(nlev, 1, max_taps, 1)
     out = jax.lax.conv_general_dilated(
@@ -130,5 +132,6 @@ def build_octave_direct(base: jnp.ndarray, params: ScaleSpaceParams) -> jnp.ndar
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=nlev,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(nlev, h, w)

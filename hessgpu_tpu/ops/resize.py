@@ -36,10 +36,14 @@ def downsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:
     for d in lead:
         b *= d
     xr = x.reshape(b, 1, h, w)
+    # HIGHEST precision: the default TPU conv path rounds through bf16,
+    # which perturbed every downsampled octave by ~1e-3 and shifted ~3%
+    # of detections vs the CPU/f32 pipeline (measured on 640-1.jpg)
     out = jax.lax.conv_general_dilated(
         xr[..., : (h - 1) // s * s + 1, : (w - 1) // s * s + 1],
         jnp.ones((1, 1, 1, 1), x.dtype),
-        window_strides=(s, s), padding="VALID")
+        window_strides=(s, s), padding="VALID",
+        precision=jax.lax.Precision.HIGHEST)
     return out.reshape(lead + out.shape[-2:])
 
 
