@@ -74,12 +74,29 @@ def main():
 
     fps = BATCH * ITERS / dt
     n_feats = int(np.asarray(table.count()).mean())
+
+    # DoG personality (-dog) rides the same kernels with a different
+    # response function; report it alongside so a regression is visible
+    cfg_dog = SiftConfig(detector="dog")
+    plan_dog = make_plan(h, w, cfg_dog)
+    ckey_dog = _CfgKey(cfg_dog)
+    for _ in range(WARMUP):
+        td = _batched_pipeline(batch, plan_dog, ckey_dog)
+        jax.block_until_ready(td.valid)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        td = _batched_pipeline(batch, plan_dog, ckey_dog)
+    jax.block_until_ready(td.valid)
+    dog_fps = BATCH * ITERS / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "640x480_detect_describe_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_HZ, 2),
         "features_per_frame": n_feats,
+        "dog_fps": round(dog_fps, 2),
+        "dog_features_per_frame": int(np.asarray(td.count()).mean()),
         "device": str(dev),
     }))
 

@@ -131,7 +131,124 @@ def sharded_hessian_response(img: jnp.ndarray, sigmas: Sequence[float],
 # end-to-end sharded detection
 # ---------------------------------------------------------------------------
 
+def _orient_describe_level(fl, gbuf, rbuf, win_fn, cfg, w_o, ho, grow0,
+                           oss, owin, dwin, single, MO, type_none):
+    """Shard-local orientations + descriptors for one key level's
+    compacted keypoint list.
+
+    Runs the single-chip jnp helpers (_histogram36 / _descriptor_one) in
+    GLOBAL octave coordinates over the shard's band+halo buffers, so
+    thetas/descriptors match the single-chip pipeline bit-for-bit (see
+    sharded_detect_and_describe)."""
+    from ..ops.descriptor import _descriptor_one, normalize_descriptors
+    from ..ops.orientation import (_histogram36, _multi_peaks,
+                                   _single_peak, _smooth6)
+
+    TWO_PI = 2.0 * np.pi
+    ky_g = fl.y + grow0
+    kx_g = fl.x
+
+    if cfg.fixed_orientation:
+        thetas = jnp.zeros((fl.x.shape[0], MO))
+        tvalid = jnp.zeros((fl.x.shape[0], MO), bool).at[:, 0].set(True)
+    else:
+        def orient_one(kx, ky, ks):
+            gwin, y0, x0 = win_fn(gbuf, ky, kx, owin)
+            rwin, _, _ = win_fn(rbuf, ky, kx, owin)
+            votes = _histogram36(
+                kx, ky, ks, gwin, rwin,
+                x0.astype(jnp.float32), y0.astype(jnp.float32),
+                owin, float(w_o), float(ho),
+                cfg.orientation_gaussian_factor,
+                cfg.orientation_window_factor)
+            votes = _smooth6(votes)
+            if cfg.half_sift:
+                votes = votes.at[:18].add(votes[18:]).at[18:].set(0.0)
+            if single:
+                return (jnp.stack([_single_peak(votes)]),
+                        jnp.array([True]))
+            return _multi_peaks(votes, cfg.multi_orientation_threshold,
+                                min(4, cfg.max_orientations))
+
+        thetas, tvalid = jax.vmap(orient_one)(kx_g, ky_g, fl.sigma)
+
+    vslot = (fl.valid[:, None] & tvalid).reshape(-1)
+    rep = lambda a: jnp.repeat(a, MO)
+    th_flat = thetas.reshape(-1)
+
+    if cfg.compute_descriptors:
+        def desc_one(kx, ky, ks, kt):
+            gwin, y0, x0 = win_fn(gbuf, ky, kx, dwin)
+            rwin, _, _ = win_fn(rbuf, ky, kx, dwin)
+            return _descriptor_one(
+                kx, ky, ks, kt, gwin, rwin,
+                x0.astype(jnp.float32), y0.astype(jnp.float32),
+                float(w_o), float(ho), cfg.descriptor_window_factor)
+
+        K = vslot.shape[0]
+        chunk = 128
+        if K <= chunk:
+            desc = jax.vmap(desc_one)(rep(kx_g), rep(ky_g),
+                                      rep(fl.sigma), th_flat)
+        else:
+            padn = (-K) % chunk
+            args = [jnp.pad(a, (0, padn)).reshape(-1, chunk)
+                    for a in (rep(kx_g), rep(ky_g), rep(fl.sigma),
+                              th_flat)]
+            desc = jax.lax.map(lambda t: jax.vmap(desc_one)(*t),
+                               tuple(args)).reshape(-1, 128)[:K]
+        desc = jnp.where(vslot[:, None], desc, 0.0)
+        if cfg.half_sift:
+            d = desc.reshape(-1, 16, 8)
+            desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+        if cfg.normalized_sift:
+            desc = normalize_descriptors(desc, vslot)
+    else:
+        desc = jnp.zeros((vslot.shape[0],
+                          64 if cfg.half_sift else 128), jnp.float32)
+
+    return dict(
+        x=jnp.where(vslot, oss * (rep(kx_g) - 0.5) + 0.5, 0.0),
+        y=jnp.where(vslot, oss * (rep(ky_g) - 0.5) + 0.5, 0.0),
+        sigma=jnp.where(vslot, oss * rep(fl.sigma), 0.0),
+        theta=jnp.where(vslot, jnp.mod(TWO_PI - th_flat, TWO_PI), 0.0),
+        response=jnp.where(vslot, rep(fl.response), 0.0),
+        ftype=jnp.where(vslot, rep(fl.ftype), type_none),
+        valid=vslot,
+        desc=desc)
+
 def sharded_detect_keypoints(img: jnp.ndarray, cfg, mesh: Mesh):
+    """Full multi-octave keypoint detection on a row-sharded image."""
+    return _sharded_detect_impl(img, cfg, mesh, describe=False)
+
+
+def sharded_detect_and_describe(img: jnp.ndarray, cfg, mesh: Mesh):
+    """Full detect+describe on a row-sharded image: the complete
+    replacement for the reference's -maxd ceiling (GlobalUtil.cpp:82).
+
+    Orientation/descriptor windows read a band+halo gradient buffer: each
+    shard computes its band's gradient/rotation maps (1-row halo), then
+    exchanges `pad` halo rows with its ring neighbours via ppermute - the
+    same pattern as the blur halos - so every keypoint's full window is
+    shard-local. Window gathers, histogram masks, and descriptor math are
+    performed in GLOBAL octave coordinates against the same helpers the
+    single-chip jnp path uses (_histogram36 / _descriptor_one), so
+    thetas and descriptors match the single-chip pipeline bit-for-bit.
+
+    Octaves whose shard band is shorter than the halo are computed
+    replicated (shard 0 reports), like small octaves in
+    sharded_detect_keypoints.
+
+    Returns a dict of (L_total, n_shards * cap * MO) arrays: x, y, sigma,
+    theta, response, ftype, valid, plus desc
+    (L_total, n_shards * cap * MO, D) - MO = 1 in single-orientation mode
+    else 4 slots per keypoint (invalid slots masked).
+    """
+    return _sharded_detect_impl(img, cfg, mesh, describe=True)
+
+
+def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
+                         describe: bool):
     """Full multi-octave keypoint detection on a row-sharded image.
 
     Replaces the reference's hard -maxd working-size ceiling
@@ -156,6 +273,8 @@ def sharded_detect_keypoints(img: jnp.ndarray, cfg, mesh: Mesh):
     the single-chip path; within a level, shard-major raster order
     (replicated octaves report on shard 0).
     """
+    import math as _math
+
     from ..ops.compaction import compact_level_keypoints
     from ..ops.keypoint import TYPE_NONE, detect_keypoints_level
     from ..ops.resize import downsample
@@ -175,10 +294,28 @@ def sharded_detect_keypoints(img: jnp.ndarray, cfg, mesh: Mesh):
     # a sharded band must cover it, and its rows must stay even for the
     # next local downsample
     MIN_SHARD_ROWS = 32
+    owin = dwin = halo = 0
+    single = True
+    MO = 1
+    if describe:
+        from ..ops.descriptor import descriptor_window_size
+        max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
+            (p.sigmak if cfg.subpixel else 1.0)
+        owin = 2 * int(_math.ceil(
+            abs(max_sigma) * cfg.orientation_gaussian_factor
+            * cfg.orientation_window_factor + 1.0)) + 1
+        dwin = descriptor_window_size(max_sigma,
+                                      cfg.descriptor_window_factor)
+        # orientation/descriptor windows must be shard-local: the band
+        # must cover the widest window's halo
+        halo = (max(owin, dwin) - 1) // 2 + 2
+        single = cfg.max_orientations <= 1 or cfg.fixed_orientation
+        MO = 1 if single else 4
+    min_rows = max(MIN_SHARD_ROWS, halo)
     sharded_oct = []
     for (h, w) in shapes:
         # 2n | h keeps every shard's band even for the local downsample
-        ok = (h % (2 * n) == 0) and (h // n >= MIN_SHARD_ROWS) and \
+        ok = (h % (2 * n) == 0) and (h // n >= min_rows) and \
             (not sharded_oct or sharded_oct[-1])
         sharded_oct.append(ok)
 
@@ -269,6 +406,49 @@ def sharded_detect_keypoints(img: jnp.ndarray, cfg, mesh: Mesh):
                 # shard 0 reports, the others emit empty slots
                 grow0 = 0
                 row_ok = jnp.broadcast_to(shard == 0, (hloc,))
+
+            w_o = base.shape[1]
+            gbufs, rbufs = {}, {}
+            if describe:
+                # band gradient/rotation per key level (the 1-row stencil
+                # halo comes from the ring neighbour, so band rows match
+                # the single-chip ops.hessian maps bit-for-bit), extended
+                # by `halo` rows each side for shard-local windows
+                for kl in p.key_levels:
+                    lv = levels[kl]
+                    lvx = _ext(lv) if shd else jnp.pad(
+                        lv, ((1, 1), (0, 0)), mode="edge")
+                    xl = jnp.pad(lvx, ((0, 0), (1, 1)), mode="edge")
+                    dxv = xl[1:-1, 2:] - xl[1:-1, :-2]
+                    dyv = lvx[2:, :] - lvx[:-2, :]
+                    gmag = 0.5 * jnp.sqrt(dxv * dxv + dyv * dyv)
+                    grot = jnp.where(gmag == 0.0, 0.0,
+                                     jnp.arctan2(dyv, dxv))
+                    if shd:
+                        tg, bg = _exchange_halo(gmag, halo, axis)
+                        tr_, br_ = _exchange_halo(grot, halo, axis)
+                        gbufs[kl] = jnp.concatenate([tg, gmag, bg], 0)
+                        rbufs[kl] = jnp.concatenate([tr_, grot, br_], 0)
+                    else:
+                        gbufs[kl] = gmag
+                        rbufs[kl] = grot
+            # buffer row 0 = global octave row `off`
+            off = (grow0 - halo) if shd else 0
+
+            def _win(buf, ky, kx, wsize):
+                # mirror ops.gather.window_gather exactly, in GLOBAL
+                # octave coordinates: unclamped origin, per-index clamp
+                # to the octave extent, reads translated into the local
+                # band+halo buffer
+                r = (wsize - 1) // 2
+                y0 = jnp.floor(ky).astype(jnp.int32) - r
+                x0 = jnp.floor(kx).astype(jnp.int32) - r
+                ys = jnp.clip(y0 + jnp.arange(wsize).reshape(-1, 1),
+                              0, ho - 1) - off
+                xs = jnp.clip(x0 + jnp.arange(wsize).reshape(1, -1),
+                              0, w_o - 1)
+                return buf[ys, xs], y0, x0
+
             for kl in p.key_levels:
                 args_ext = [(_ext(a) if shd else jnp.pad(
                     a, ((1, 1), (0, 0)), mode="edge"))
@@ -297,19 +477,31 @@ def sharded_detect_keypoints(img: jnp.ndarray, cfg, mesh: Mesh):
                     maps, p.key_level_sigma(kl), sigma_step, cap)
                 # local row band -> global frame; octave -> input frame
                 oss = float(1 << o)
-                out.append(dict(
-                    x=jnp.where(fl.valid, oss * (fl.x - 0.5) + 0.5, 0.0),
-                    y=jnp.where(fl.valid,
-                                oss * (fl.y + grow0 - 0.5) + 0.5, 0.0),
-                    sigma=oss * fl.sigma,
-                    response=fl.response,
-                    ftype=jnp.where(fl.valid, fl.ftype, TYPE_NONE),
-                    valid=fl.valid))
+                if not describe:
+                    out.append(dict(
+                        x=jnp.where(fl.valid, oss * (fl.x - 0.5) + 0.5,
+                                    0.0),
+                        y=jnp.where(fl.valid,
+                                    oss * (fl.y + grow0 - 0.5) + 0.5, 0.0),
+                        sigma=oss * fl.sigma,
+                        response=fl.response,
+                        ftype=jnp.where(fl.valid, fl.ftype, TYPE_NONE),
+                        valid=fl.valid))
+                    continue
+
+                out.append(_orient_describe_level(
+                    fl, gbufs[kl], rbufs[kl], _win, cfg, w_o, ho, grow0,
+                    oss, owin, dwin, single, MO, TYPE_NONE))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *out)
 
+    keys = ["x", "y", "sigma", "response", "ftype", "valid"]
+    ospec = {k: P(None, axis) for k in keys}
+    if describe:
+        ospec["theta"] = P(None, axis)
+        ospec["desc"] = P(None, axis, None)
     fn = jax.jit(jax.shard_map(
         block_fn, mesh=mesh,
         in_specs=P(axis, None),
-        out_specs=P(None, axis)))
+        out_specs=ospec))
     sharding = NamedSharding(mesh, P(axis, None))
     return fn(jax.device_put(img, sharding))

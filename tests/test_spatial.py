@@ -116,6 +116,43 @@ def test_sharded_detect_matches_pipeline_one_octave(mesh, rng):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
 
 
+def test_sharded_describe_matches_pipeline(mesh, rng):
+    """A taller-than-maxd image (H=3328 > the reference's 3200 ceiling,
+    GlobalUtil.cpp:82) sharded over 8 devices yields the FULL
+    FeatureTable - x/y/sigma/theta/descriptors - equal to the
+    single-chip pipeline."""
+    from hessgpu_tpu.config import SiftConfig
+    from hessgpu_tpu.parallel.spatial import sharded_detect_and_describe
+    from hessgpu_tpu.pyramid import detect_and_describe
+
+    cfg = SiftConfig()
+    cfg.threshold = 0.001    # blurred noise: enough real detections
+    cfg.max_level_features = 512
+    img = _smooth_image(rng, 3328, 256)
+
+    res = sharded_detect_and_describe(jnp.asarray(img), cfg, mesh)
+    v = np.asarray(res["valid"]).ravel()
+    got = np.stack([np.asarray(res[k]).ravel()[v].astype(np.float64)
+                    for k in ("x", "y", "sigma", "theta")], 1)
+    gdesc = np.asarray(res["desc"]).reshape(-1, 128)[v]
+    order = np.lexsort((got[:, 3], got[:, 2], got[:, 1], got[:, 0]))
+    got, gdesc = got[order], gdesc[order]
+
+    table, _ = detect_and_describe(np.asarray(img), cfg)
+    wv = np.asarray(table.valid)
+    want = np.stack([np.asarray(a)[wv].astype(np.float64)
+                     for a in (table.x, table.y, table.sigma,
+                               table.theta)], 1)
+    wdesc = np.asarray(table.desc)[wv]
+    worder = np.lexsort((want[:, 3], want[:, 2], want[:, 1], want[:, 0]))
+    want, wdesc = want[worder], wdesc[worder]
+
+    assert len(want) > 30, "degenerate test: almost no keypoints"
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(gdesc, wdesc, atol=1e-5)
+
+
 def test_sharded_detect_multi_octave_matches_one_device(mesh, rng):
     """Multi-octave (sharded octave 0 + replicated small octaves): the
     8-device result equals the 1-device run of the same code path."""
