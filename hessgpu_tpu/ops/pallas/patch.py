@@ -866,237 +866,3 @@ def orientation_pallas(
     ovalid = ovalid[:G0]
     return thetas, ovalid.astype(jnp.bool_) & valid[:G0, None]
 
-
-# ---------------------------------------------------------------------------
-# fused orientation + descriptor kernel
-# ---------------------------------------------------------------------------
-
-def orient_describe_pallas(
-    x, y, sigma, valid, level_id,
-    stack: PackedStack,
-    owin: int, dwin: int, pad: int,
-    gaussian_factor: float = 1.5,
-    orientation_window_factor: float = 2.0,
-    descriptor_window_factor: float = 3.0,
-    peak_threshold: float = 0.8,
-    half_sift: bool = False,
-    single: bool = False,
-    max_peaks: int = 4,
-    interpret: bool = False,
-):
-    """One pass: orientations AND up-to-4 descriptors per keypoint.
-
-    One window DMA per keypoint serves both the 36-bin histogram (radius
-    owin) and each valid orientation's descriptor (radius dwin >= owin).
-    Returns (thetas (G, 4), ovalid (G, 4) bool, desc (G, 4, 128) raw).
-    """
-    G0 = x.shape[0]
-    BK = 8
-    padk = (-G0) % BK
-    if padk:
-        x = jnp.pad(x, (0, padk))
-        y = jnp.pad(y, (0, padk))
-        sigma = jnp.pad(sigma, (0, padk), constant_values=1.0)
-        valid = jnp.pad(valid, (0, padk))
-        level_id = jnp.pad(level_id, (0, padk))
-    G = G0 + padk
-    wsize = max(owin, dwin)
-    rows, cols = _window_dims(wsize)
-    r = (wsize - 1) // 2
-    nslots = 1 if single else 4
-
-    def _orientations(kx, ky, sig, h, w, gw, rw, y0f, x0f):
-        """Scalar-register histogram -> list of (theta, ok) per slot."""
-        gsigma = sig * gaussian_factor
-        win = jnp.abs(sig) * (gaussian_factor * orientation_window_factor)
-        dist_threshold = win * win + 0.5
-        factor = -0.5 / (gsigma * gsigma)
-
-        iy = y0f + jax.lax.broadcasted_iota(
-            jnp.int32, (rows, cols), 0).astype(jnp.float32)
-        ix = x0f + jax.lax.broadcasted_iota(
-            jnp.int32, (rows, cols), 1).astype(jnp.float32)
-        dxp = ix + 0.5 - kx
-        dyp = iy + 0.5 - ky
-        sq = dxp * dxp + dyp * dyp
-
-        in_range = (
-            (ix >= jnp.maximum(1.0, jnp.floor(kx - win)))
-            & (ix <= jnp.minimum(w - 2.0, jnp.floor(kx + win)))
-            & (iy >= jnp.maximum(1.0, jnp.floor(ky - win)))
-            & (iy <= jnp.minimum(h - 2.0, jnp.floor(ky + win)))
-            & (sq < dist_threshold)
-        )
-        obin = jnp.floor(rw * BINS_PER_RADIAN).astype(jnp.int32)
-        obin = jnp.where(obin < 0, obin + 36, obin)
-        obin = jnp.clip(obin, 0, 35)
-        wt = jnp.where(in_range, gw * jnp.exp(sq * factor), 0.0)
-
-        v = [jnp.sum(jnp.where(obin == b, wt, 0.0)) for b in range(36)]
-        for _ in range(6):
-            v = [(v[(j - 1) % 36] + v[j] + v[(j + 1) % 36]) / 3.0
-                 for j in range(36)]
-        if half_sift:
-            v = [v[j] + v[j + 18] for j in range(18)] + \
-                [jnp.float32(0.0)] * 18
-
-        vmax = v[0]
-        for j in range(1, 36):
-            vmax = jnp.maximum(vmax, v[j])
-
-        out = []
-        if single:
-            imax = jnp.int32(0)
-            best = v[0]
-            for j in range(1, 36):
-                gt = v[j] > best
-                imax = jnp.where(gt, j, imax)
-                best = jnp.maximum(best, v[j])
-            pre = jnp.float32(0.0)
-            nxt = jnp.float32(0.0)
-            for j in range(36):
-                sel = imax == j
-                pre = jnp.where(sel, v[(j - 1) % 36], pre)
-                nxt = jnp.where(sel, v[(j + 1) % 36], nxt)
-            off = 0.5 * (nxt - pre) / (best + best - nxt - pre)
-            theta = (imax.astype(jnp.float32) + 0.5 + off) / BINS_PER_RADIAN
-            out.append((theta, jnp.bool_(True)))
-        else:
-            thr = peak_threshold * vmax
-            peak_v = []
-            for j in range(36):
-                is_pk = (v[j] > thr) & (v[j] > v[(j - 1) % 36]) \
-                    & (v[j] > v[(j + 1) % 36])
-                peak_v.append(jnp.where(is_pk, v[j], -jnp.float32(1.0)))
-            taken = [jnp.bool_(False)] * 36
-            for slot in range(4):
-                if slot >= max_peaks:
-                    # -m cap: slots past it are statically dead (zero theta,
-                    # invalid, zero descriptor)
-                    out.append((jnp.float32(0.0), jnp.bool_(False)))
-                    continue
-                best = jnp.float32(-1.0)
-                bi = jnp.int32(-1)
-                for j in range(36):
-                    cand = jnp.where(taken[j], -jnp.float32(1.0), peak_v[j])
-                    gt = cand > best
-                    best = jnp.maximum(best, cand)
-                    bi = jnp.where(gt, j, bi)
-                ok = best > 0.0
-                taken = [taken[j] | (bi == j) for j in range(36)]
-                pre = jnp.float32(0.0)
-                nxt = jnp.float32(0.0)
-                vi = jnp.float32(1.0)
-                for j in range(36):
-                    sel = bi == j
-                    pre = jnp.where(sel, v[(j - 1) % 36], pre)
-                    nxt = jnp.where(sel, v[(j + 1) % 36], nxt)
-                    vi = jnp.where(sel, v[j], vi)
-                di = 0.5 * (nxt - pre) / (vi + vi - nxt - pre)
-                rotb = bi.astype(jnp.float32) + di + 0.5
-                frac = rotb / 36.0
-                frac = jnp.where(frac < 0, frac + 1.0, frac)
-                q = jnp.floor(frac * 255.0)
-                out.append((jnp.where(ok, q * (TWO_PI / 255.0), 0.0), ok))
-        return out
-
-    def kernel(xs, ys, sigs, lvls, valids, lh, lw, pln, roff, coff,
-               grad_hbm, rot_hbm, th_ref, ov_ref, d_ref, gwin, rwin, sems):
-        kb = pl.program_id(0)
-        lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
-        for i in range(BK):
-            k = kb * BK + i
-            is_valid = valids[k] != 0
-
-            @pl.when(is_valid)
-            def _(i=i, k=k):
-                kx = xs[k]
-                ky = ys[k]
-                sig = sigs[k]
-                lvl = lvls[k]
-                srow, scol, y0f, x0f = _aligned_origin(ky, kx, r, pad,
-                                                       roff[lvl], coff[lvl])
-                pi = pln[lvl]
-
-                cp_g = pltpu.make_async_copy(
-                    grad_hbm.at[pi, pl.ds(srow, rows), pl.ds(scol, cols)],
-                    gwin, sems.at[0])
-                cp_r = pltpu.make_async_copy(
-                    rot_hbm.at[pi, pl.ds(srow, rows), pl.ds(scol, cols)],
-                    rwin, sems.at[1])
-                cp_g.start()
-                cp_r.start()
-                cp_g.wait()
-                cp_r.wait()
-
-                h = lh[lvl].astype(jnp.float32)
-                w = lw[lvl].astype(jnp.float32)
-                gw = gwin[:, :]
-                rw = rwin[:, :]
-
-                slots = _orientations(kx, ky, sig, h, w, gw, rw, y0f, x0f)
-
-                th_row = jnp.zeros((1, 4), jnp.float32)
-                ov_row = jnp.zeros((1, 4), jnp.int32)
-                spt = jnp.abs(sig * descriptor_window_factor)
-                for s, (theta, ok) in enumerate(slots):
-                    th_row = th_row + jnp.where(
-                        lane4 == s, jnp.where(ok, theta, 0.0), 0.0)
-                    ov_row = ov_row + jnp.where(
-                        lane4 == s, jnp.where(ok, 1, 0), 0)
-
-                    @pl.when(ok)
-                    def _(s=s, theta=theta):
-                        desc = _descriptor_compute(
-                            kx, ky, spt, theta, y0f, x0f, h, w, gw, rw)
-                        d_ref[i:i + 1, 128 * s:128 * (s + 1)] = desc
-
-                    @pl.when(jnp.logical_not(ok))
-                    def _(s=s):
-                        d_ref[i:i + 1, 128 * s:128 * (s + 1)] = \
-                            jnp.zeros((1, 128), jnp.float32)
-                th_ref[i:i + 1, :] = th_row
-                ov_ref[i:i + 1, :] = ov_row
-
-            @pl.when(jnp.logical_not(is_valid))
-            def _(i=i):
-                th_ref[i:i + 1, :] = jnp.zeros((1, 4), jnp.float32)
-                ov_ref[i:i + 1, :] = jnp.zeros((1, 4), jnp.int32)
-                d_ref[i:i + 1, :] = jnp.zeros((1, 4 * 128), jnp.float32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
-        grid=(G // BK,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((BK, 4), lambda k, *_: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK, 4), lambda k, *_: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK, 4 * 128), lambda k, *_: (k, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((rows, cols), jnp.float32),
-            pltpu.VMEM((rows, cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-
-    thetas, ovalid, desc = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((G, 4), jnp.float32),
-                   jax.ShapeDtypeStruct((G, 4), jnp.int32),
-                   jax.ShapeDtypeStruct((G, 4 * 128), jnp.float32)),
-        interpret=interpret,
-    )(x, y, sigma, level_id.astype(jnp.int32), valid.astype(jnp.int32),
-      stack.level_h, stack.level_w, stack.plane, stack.row_off,
-      stack.col_off, stack.grad, stack.rot)
-    thetas = thetas[:G0]
-    ovalid = ovalid[:G0].astype(jnp.bool_) & valid[:G0, None]
-    desc = desc[:G0].reshape(G0, 4, 128)
-    return thetas, ovalid, desc

@@ -566,138 +566,89 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 
-    # NOTE: an orient_describe_pallas fused kernel exists
-    # (ops/pallas/patch.py) but measured 4x slower than the two-kernel path
-    # on v5e (the 8-slot x 4-orientation unrolled body overwhelms Mosaic);
-    # keep it disabled until block-level restructuring.
-    use_fused = False
-    if use_fused and use_pallas and cfg.compute_descriptors \
-            and not cfg.fixed_orientation:
-        # fused path: one kernel computes orientations AND per-orientation
-        # descriptors (one window DMA per keypoint); expansion becomes a
-        # cheap gather of (kp, slot) rows
-        from .ops.descriptor import normalize_descriptors
-        from .ops.pallas.patch import orient_describe_pallas
-        from .ops.compaction import compact_indices
-
-        o_thetas, o_valid, desc4 = orient_describe_pallas(
-            table.x, table.y, table.sigma, table.valid, table.level_id,
-            pstack,
-            owin=owin, dwin=dwin, pad=pad,
-            gaussian_factor=cfg.orientation_gaussian_factor,
-            orientation_window_factor=cfg.orientation_window_factor,
-            descriptor_window_factor=cfg.descriptor_window_factor,
-            peak_threshold=cfg.multi_orientation_threshold,
-            half_sift=cfg.half_sift, single=single,
-            max_peaks=cfg.max_orientations,
-            interpret=interpret)
-
-        if single:
-            table = table._replace(theta=o_thetas[:, 0])
-            desc = desc4[:, 0, :]
-        else:
-            G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
-            mask = (o_valid & table.valid[:, None]).reshape(-1)
-            src, slot_valid, _ = compact_indices(mask, G_exp)
-            kp = src // 4
-            rep = lambda a: jnp.where(slot_valid, a[kp], jnp.zeros_like(a[kp]))
-            table = GlobalTable(
-                x=rep(table.x), y=rep(table.y), sigma=rep(table.sigma),
-                theta=jnp.where(slot_valid, o_thetas.reshape(-1)[src], 0.0),
-                response=rep(table.response), ftype=rep(table.ftype),
-                level_id=rep(table.level_id), valid=slot_valid)
-            desc = desc4.reshape(-1, 128)[src]
-            desc = jnp.where(slot_valid[:, None], desc, 0.0)
-
-        if cfg.half_sift:
-            d = desc.reshape(-1, 16, 8)
-            desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
-        if cfg.normalized_sift:
-            desc = normalize_descriptors(desc, table.valid)
+    if cfg.fixed_orientation:
+        table = table._replace(theta=jnp.zeros_like(table.theta))
+        G_exp = G
     else:
-        if cfg.fixed_orientation:
-            table = table._replace(theta=jnp.zeros_like(table.theta))
-            G_exp = G
-        else:
-            with jax.named_scope("COMPUTE_ORIENTATIONS"):
-                if use_pallas:
-                    o_thetas, o_valid = orientation_pallas(
-                        table.x, table.y, table.sigma, table.valid,
-                        table.level_id, pstack,
-                        wsize=owin, pad=pad,
-                        gaussian_factor=cfg.orientation_gaussian_factor,
-                        window_factor=cfg.orientation_window_factor,
-                        peak_threshold=cfg.multi_orientation_threshold,
-                        half_sift=cfg.half_sift, single=single,
-                        max_peaks=cfg.max_orientations,
-                        interpret=interpret)
-                else:
-                    ores = compute_orientations_flat(
-                        table.x, table.y, table.sigma, table.valid,
-                        table.level_id, flat_grad, flat_rot,
-                        level_base, level_h, level_w,
-                        wsize=owin,
-                        num_orientations=cfg.max_orientations,
-                        gaussian_factor=cfg.orientation_gaussian_factor,
-                        window_factor=cfg.orientation_window_factor,
-                        peak_threshold=cfg.multi_orientation_threshold,
-                        half_sift=cfg.half_sift,
-                        single=single,
-                    )
-                    o_thetas, o_valid = ores.thetas, ores.valid
-            if single:
-                table = table._replace(theta=o_thetas[:, 0])
-                G_exp = G
-            else:
-                with jax.named_scope("MULTI_ORIENTATIONS"):
-                    G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
-                    mask = (o_valid & table.valid[:, None]).reshape(-1)
-                    rep = lambda a: jnp.repeat(a, 4)
-                    lidft = (table.level_id << 2) | (table.ftype & 3)
-                    cnt, outs, slot_valid = compact_sorted(
-                        mask,
-                        [rep(table.x), rep(table.y), rep(table.sigma),
-                         o_thetas.reshape(-1), rep(table.response),
-                         rep(lidft)],
-                        G_exp,
-                    )
-                    x, y, sg, th, r, lf = outs
-                    table = GlobalTable(
-                        x=x, y=y, sigma=sg, theta=th, response=r,
-                        ftype=jnp.where(slot_valid, lf & 3, 0),
-                        level_id=lf >> 2, valid=slot_valid)
-
-        # ---- descriptors (separate pass) ----------------------------------
-        if cfg.compute_descriptors:
-          with jax.named_scope("COMPUTE_DESCRIPTORS"):
+        with jax.named_scope("COMPUTE_ORIENTATIONS"):
             if use_pallas:
-                from .ops.descriptor import normalize_descriptors
-                desc = descriptor_pallas(
-                    table.x, table.y, table.sigma, table.theta, table.valid,
+                o_thetas, o_valid = orientation_pallas(
+                    table.x, table.y, table.sigma, table.valid,
                     table.level_id, pstack,
-                    wsize=dwin, pad=pad,
-                    window_factor=cfg.descriptor_window_factor,
-                    mxu=True,
+                    wsize=owin, pad=pad,
+                    gaussian_factor=cfg.orientation_gaussian_factor,
+                    window_factor=cfg.orientation_window_factor,
+                    peak_threshold=cfg.multi_orientation_threshold,
+                    half_sift=cfg.half_sift, single=single,
+                    max_peaks=cfg.max_orientations,
                     interpret=interpret)
-                desc = jnp.where(table.valid[:, None], desc, 0.0)
-                if cfg.half_sift:
-                    d = desc.reshape(-1, 16, 8)
-                    desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
-                if cfg.normalized_sift:
-                    desc = normalize_descriptors(desc, table.valid)
             else:
-                desc = compute_descriptors_flat(
-                    table.x, table.y, table.sigma, table.theta, table.valid,
+                ores = compute_orientations_flat(
+                    table.x, table.y, table.sigma, table.valid,
                     table.level_id, flat_grad, flat_rot,
                     level_base, level_h, level_w,
-                    wsize=dwin,
-                    window_factor=cfg.descriptor_window_factor,
+                    wsize=owin,
+                    num_orientations=cfg.max_orientations,
+                    gaussian_factor=cfg.orientation_gaussian_factor,
+                    window_factor=cfg.orientation_window_factor,
+                    peak_threshold=cfg.multi_orientation_threshold,
                     half_sift=cfg.half_sift,
-                    normalize=cfg.normalized_sift,
+                    single=single,
                 )
+                o_thetas, o_valid = ores.thetas, ores.valid
+        if single:
+            table = table._replace(theta=o_thetas[:, 0])
+            G_exp = G
         else:
-            desc = jnp.zeros((table.x.shape[0], cfg.descriptor_dim),
-                             jnp.float32)
+            with jax.named_scope("MULTI_ORIENTATIONS"):
+                G_exp = int(G * cfg.expansion_factor + 7) // 8 * 8
+                mask = (o_valid & table.valid[:, None]).reshape(-1)
+                rep = lambda a: jnp.repeat(a, 4)
+                lidft = (table.level_id << 2) | (table.ftype & 3)
+                cnt, outs, slot_valid = compact_sorted(
+                    mask,
+                    [rep(table.x), rep(table.y), rep(table.sigma),
+                     o_thetas.reshape(-1), rep(table.response),
+                     rep(lidft)],
+                    G_exp,
+                )
+                x, y, sg, th, r, lf = outs
+                table = GlobalTable(
+                    x=x, y=y, sigma=sg, theta=th, response=r,
+                    ftype=jnp.where(slot_valid, lf & 3, 0),
+                    level_id=lf >> 2, valid=slot_valid)
+
+    # ---- descriptors (separate pass) ----------------------------------
+    if cfg.compute_descriptors:
+      with jax.named_scope("COMPUTE_DESCRIPTORS"):
+        if use_pallas:
+            from .ops.descriptor import normalize_descriptors
+            desc = descriptor_pallas(
+                table.x, table.y, table.sigma, table.theta, table.valid,
+                table.level_id, pstack,
+                wsize=dwin, pad=pad,
+                window_factor=cfg.descriptor_window_factor,
+                mxu=True,
+                interpret=interpret)
+            desc = jnp.where(table.valid[:, None], desc, 0.0)
+            if cfg.half_sift:
+                d = desc.reshape(-1, 16, 8)
+                desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+            if cfg.normalized_sift:
+                desc = normalize_descriptors(desc, table.valid)
+        else:
+            desc = compute_descriptors_flat(
+                table.x, table.y, table.sigma, table.theta, table.valid,
+                table.level_id, flat_grad, flat_rot,
+                level_base, level_h, level_w,
+                wsize=dwin,
+                window_factor=cfg.descriptor_window_factor,
+                half_sift=cfg.half_sift,
+                normalize=cfg.normalized_sift,
+            )
+    else:
+        desc = jnp.zeros((table.x.shape[0], cfg.descriptor_dim),
+                         jnp.float32)
 
     # ---- convert to image coordinates -----------------------------------------
     offset = 0.0 if cfg.lowe_origin else 0.5

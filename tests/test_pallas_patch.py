@@ -111,43 +111,6 @@ def test_orientation_pallas_single_mode(scene):
                                    atol=1e-4, err_msg=f"kp {i}")
 
 
-def test_fused_orient_describe_matches_separate(scene):
-    from hessgpu_tpu.ops.pallas.patch import orient_describe_pallas
-    grads, rots, kx, ky, ks, kt, lid, valid = scene
-    owin = 2 * int(np.ceil(ks.max() * 1.5 * 2.0 + 1)) + 1
-    dwin = descriptor_window_size(float(ks.max()))
-    pad = (max(owin, dwin) - 1) // 2 + 2
-    ps = build_padded_stack(grads, rots, pad)
-
-    th_f, ov_f, d_f = orient_describe_pallas(
-        jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-        jnp.asarray(valid), jnp.asarray(lid), ps,
-        owin=owin, dwin=dwin, pad=pad, interpret=True)
-
-    th_s, ov_s = orientation_pallas(
-        jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-        jnp.asarray(valid), jnp.asarray(lid), ps,
-        wsize=owin, pad=pad, interpret=True)
-
-    np.testing.assert_array_equal(np.asarray(ov_f), np.asarray(ov_s))
-    ov = np.asarray(ov_s)
-    np.testing.assert_allclose(np.asarray(th_f)[ov], np.asarray(th_s)[ov],
-                               atol=1e-5)
-
-    # descriptors per valid slot match the standalone descriptor kernel
-    d_sep = descriptor_pallas(
-        jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-        jnp.asarray(th_s[:, 0]), jnp.asarray(valid), jnp.asarray(lid),
-        ps, wsize=dwin, pad=pad, interpret=True)
-    d_f = np.asarray(d_f)
-    for i in range(len(kx)):
-        if valid[i] and ov[i, 0]:
-            np.testing.assert_allclose(d_f[i, 0], np.asarray(d_sep)[i],
-                                       atol=2e-3, err_msg=f"kp {i}")
-        if not valid[i]:
-            assert (d_f[i] == 0).all()
-
-
 def test_descriptor_mxu_matches_vpu(scene):
     """mxu=True (one dot_general per keypoint) vs the VPU reduction path:
     same taps up to f32 summation order."""
