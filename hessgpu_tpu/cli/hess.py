@@ -120,6 +120,7 @@ def main(argv=None):
             # "e" mismatch), reporting Hz per set (speed.cpp:60-160)
             feats = sift.run(img_path)  # warmup/compile
             num0 = feats["x"].shape[0]
+            speed_sets = []
             for s in range(2):
                 n_runs = 30
                 marks = []
@@ -128,9 +129,20 @@ def main(argv=None):
                     feats = sift.run(img_path)
                     marks.append("+" if feats["x"].shape[0] == num0 else "e")
                 dt = time.perf_counter() - t0
+                speed_sets.append((n_runs / dt, 1000 * dt / n_runs))
                 print(f"{img_path} [set {s + 1}] {''.join(marks)} "
                       f"{num0} features, {n_runs / dt:.2f} Hz "
                       f"({1000 * dt / n_runs:.1f} ms/img)")
+            # reference exports the accumulated stage timings as CSV in
+            # speed mode too (hessgpucmd.cpp:246-300, timingsSuffix file)
+            with open(os.path.splitext(img_path)[0] + ".speed.csv",
+                      "w") as f:
+                f.write("set,hz,ms_per_img,features\n")
+                for s, (hz, ms) in enumerate(speed_sets):
+                    f.write(f"{s + 1},{hz:.2f},{ms:.2f},{num0}\n")
+                rep = sift.device_stage_report(img_path)
+                f.write(",".join(rep.keys()) + "\n")
+                f.write(",".join(f"{v:.3f}" for v in rep.values()) + "\n")
         else:
             feats = sift.run(img_path)
             if cfg.verbose:

@@ -47,6 +47,12 @@ class SiftConfig:
     half_sift: bool = False              # -half
     compute_descriptors: bool = True     # -sd disables
     normalized_sift: bool = True         # -unn disables
+    # -p WxH: pre-warm the pipeline compile cache for this (h, w) at
+    # detector construction (reference AllocatePyramid, SiftGPU.h:186)
+    prealloc_size: Optional[tuple] = None
+    # -tight: free compiled executables when the image size changes
+    # (reference TightPyramid frees GPU pyramid storage, SiftGPU.h:188)
+    tight_pyramid: bool = False
     mr_size: float = 3.0                 # vlfeat export measurement region
 
     # ---- capacity / truncation ----
@@ -189,10 +195,20 @@ class SiftConfig:
                 cfg.detector = "dog"
             elif opt == "-hessian":
                 cfg.detector = "hessian"
-            elif opt in ("-cuda", "-p", "-winpos", "-display", "-device"):
+            elif opt == "-p":
+                # "-p WxH" (SiftGPU.h:186 AllocatePyramid): prewarm the
+                # compile cache for this size at detector construction
+                try:
+                    w_, h_ = str(val()).lower().split("x")
+                    cfg.prealloc_size = (int(h_), int(w_))
+                except (ValueError, AttributeError):
+                    pass
+            elif opt == "-tight":
+                cfg.tight_pyramid = True
+            elif opt in ("-cuda", "-winpos", "-display", "-device"):
                 val()  # accepted, ignored (GL/CUDA-era)
             elif opt in ("-glsl", "-pack", "-unpack", "-lc", "-lcpu", "-lgpu",
-                         "-noprep", "-tight", "-exit", "-nomc", "-fmc",
+                         "-noprep", "-exit", "-nomc", "-fmc",
                          "-ads", "-k0", "-kx", "-di", "-ofast", "-debug"):
                 pass  # accepted, ignored
             else:

@@ -38,6 +38,11 @@ class HessianSift:
         # SiftGPU.cpp RunSIFT returns 0 and the app keeps going)
         self.failed = False
         self.last_error: Optional[str] = None
+        self._last_shape: Optional[tuple] = None
+        if self.config.prealloc_size is not None:
+            # -p WxH: compile for this size now (AllocatePyramid analogue)
+            self.allocate_pyramid(self.config.prealloc_size[1],
+                                  self.config.prealloc_size[0])
 
     # -- image list management (reference SiftGPU.cpp:229-305) -------------
     def set_image_list(self, paths: List[str]) -> None:
@@ -87,6 +92,15 @@ class HessianSift:
             img = load_image(image) if isinstance(image, str) else image
             img, ds = limit_working_size(img, self.config.max_dim)
             self._last_image = img  # kept for keypoint-list re-entry
+
+        if self.config.tight_pyramid:
+            # -tight (SiftGPU.h:188): free compiled executables + their
+            # device buffers when the working size changes
+            shp = img.shape[:2]
+            if self._last_shape is not None and shp != self._last_shape:
+                from .pyramid import run_pipeline_jit
+                run_pipeline_jit.clear_cache()
+            self._last_shape = shp
 
         with self.timer.stage("pipeline"):
             table, aux = detect_and_describe(img, self.config)

@@ -46,7 +46,11 @@ def device_mesh(axis_name: str = "batch",
 
 def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
                   distmax: float = 0.7, ratiomax: float = 0.8,
-                  mutual_best: bool = True) -> jnp.ndarray:
+                  mutual_best: bool = True,
+                  loc1: jnp.ndarray = None, loc2: jnp.ndarray = None,
+                  H=None, F=None,
+                  hdistmax: float = 32.0,
+                  fdistmax: float = 16.0) -> jnp.ndarray:
     """Pairwise matching with d1's rows sharded across the mesh.
 
     d1: (N1, 128) u8 (any N1 - rows are zero-padded up to a multiple of
@@ -55,18 +59,48 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
     off); d2: (N2, 128) u8 (replicated). Returns (N1,) match index per
     row or -1 - identical to matcher._match_core, but the (N1, N2) dot
     matrix lives sharded.
+
+    Guided mode (reference GetGuidedSiftMatch): pass loc1 (N1, 2) - row
+    coordinates, sharded with d1 - and loc2 (N2, 2, replicated) plus a
+    homography H and/or fundamental matrix F; candidate pairs outside the
+    geometric gate are masked before the argmax, exactly as
+    matcher._guided_gate does on one chip. A None matrix skips its test
+    (identity/huge-threshold convention, SiftMatchGPU semantics).
     """
+    from ..matcher import _guided_gate
+
     axis = mesh.axis_names[0]
+    guided = H is not None or F is not None
+    if guided:
+        assert loc1 is not None and loc2 is not None, \
+            "guided match_sharded needs loc1/loc2"
+        if H is None:
+            H = jnp.eye(3, dtype=jnp.float32)
+            hdistmax = 1.0e20
+        if F is None:
+            # identity keeps the Sampson denominator nonzero for any real
+            # coordinate pair; the huge threshold then admits everything
+            F = jnp.eye(3, dtype=jnp.float32)
+            fdistmax = 1.0e20
+        H = jnp.asarray(H, jnp.float32)
+        F = jnp.asarray(F, jnp.float32)
     n1 = d1.shape[0]
     n1p = -(-n1 // mesh.size) * mesh.size
     if n1p != n1:
         d1 = jnp.pad(d1, ((0, n1p - n1), (0, 0)))
+        if guided:
+            loc1 = jnp.pad(jnp.asarray(loc1, jnp.float32),
+                           ((0, n1p - n1), (0, 0)))
     nloc = n1p // mesh.size
 
-    def local_fn(d1s, d2r):
+    def local_fn(d1s, d2r, *locs):
         a = d1s.astype(jnp.bfloat16)
         b = d2r.astype(jnp.bfloat16)
         dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        if guided:
+            l1s, l2r = locs
+            gate = _guided_gate(l1s, l2r, H, hdistmax, F, fdistmax)
+            dots = jnp.where(gate, dots, -1.0)
 
         # row side: local argmax/2nd
         ri = jnp.argmax(dots, axis=1)
@@ -114,9 +148,16 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
             (jnp.arange(nloc) + shard * nloc)
         return jnp.where((row_match >= 0) & mutual, row_match, -1)
 
+    in_specs = [P(axis, None), P(None, None)]
+    args = [jax.device_put(d1, NamedSharding(mesh, P(axis, None))),
+            jax.device_put(d2, NamedSharding(mesh, P(None, None)))]
+    if guided:
+        in_specs += [P(axis, None), P(None, None)]
+        args += [jax.device_put(jnp.asarray(loc1, jnp.float32),
+                                NamedSharding(mesh, P(axis, None))),
+                 jax.device_put(jnp.asarray(loc2, jnp.float32),
+                                NamedSharding(mesh, P(None, None)))]
     fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
-                               in_specs=(P(axis, None), P(None, None)),
+                               in_specs=tuple(in_specs),
                                out_specs=P(axis)))
-    d1p = jax.device_put(d1, NamedSharding(mesh, P(axis, None)))
-    d2p = jax.device_put(d2, NamedSharding(mesh, P(None, None)))
-    return fn(d1p, d2p)[:n1]
+    return fn(*args)[:n1]

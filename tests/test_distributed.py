@@ -52,3 +52,38 @@ def test_match_sharded_pads_uneven_rows(mesh, rng, n1):
     got = np.asarray(match_sharded(jnp.asarray(d1), jnp.asarray(d2), mesh))
     assert got.shape == (n1,)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("use_h,use_f", [(True, False), (False, True),
+                                         (True, True)])
+def test_match_sharded_guided_equals_local(mesh, rng, use_h, use_f):
+    """Guided variant == the single-chip guided gate (H / F / both)."""
+    from hessgpu_tpu.matcher import _guided_gate
+
+    n1, n2 = 61, 80   # uneven: exercises the loc padding too
+    d1 = _descs(rng, n1)
+    d2 = _descs(rng, n2)
+    d2[:24] = d1[:24]
+    loc1 = rng.rand(n1, 2).astype(np.float32) * 400
+    loc2 = np.vstack([loc1[:24] * 1.1 + 3.0,
+                      rng.rand(n2 - 24, 2).astype(np.float32) * 400])
+    H = np.diag([1.1, 1.1, 1.0]).astype(np.float32)
+    H[:2, 2] = 3.0
+    F = np.asarray(rng.randn(3, 3), np.float32)
+
+    Hj = jnp.asarray(H) if use_h else jnp.eye(3)
+    hd = 32.0 if use_h else 1.0e20
+    Fj = jnp.asarray(F) if use_f else jnp.eye(3)
+    fd = 16.0 if use_f else 1.0e20
+    gate = _guided_gate(jnp.asarray(loc1), jnp.asarray(loc2),
+                        Hj, hd, Fj, fd)
+    want = np.asarray(_match_core(
+        jnp.asarray(d1), jnp.asarray(d2),
+        jnp.ones(n1, bool), jnp.ones(n2, bool),
+        0.7, 0.8, mutual_best=True, gate=gate))
+
+    got = np.asarray(match_sharded(
+        jnp.asarray(d1), jnp.asarray(d2), mesh,
+        loc1=jnp.asarray(loc1), loc2=jnp.asarray(loc2),
+        H=H if use_h else None, F=F if use_f else None))
+    np.testing.assert_array_equal(got, want)

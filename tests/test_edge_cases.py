@@ -64,6 +64,22 @@ def test_parser_full_flag_surface():
     assert cfg.verbose == 2 and cfg.darkness_adaption
 
 
+def test_parser_prealloc_and_tight():
+    """-p WxH / -tight map to jit-cache prewarm / per-size eviction
+    hints (reference AllocatePyramid / TightPyramid, SiftGPU.h:186-190)."""
+    cfg = SiftConfig.parse_args("-p 640x480 -tight".split())
+    assert cfg.prealloc_size == (480, 640)
+    assert cfg.tight_pyramid
+    assert SiftConfig.parse_args(["-p", "garbage"]).prealloc_size is None
+
+    # tight mode: consecutive sizes still produce correct results
+    sift = HessianSift(SiftConfig.parse_args(["-tight"]))
+    rng = np.random.RandomState(0)
+    for shape in ((64, 96), (96, 64), (64, 96)):
+        feats = sift.run(rng.rand(*shape).astype(np.float32))
+        assert "x" in feats
+
+
 def test_parser_truncation_flags():
     assert SiftConfig.parse_args(["-topk", "100"]).truncate_method \
         == TRUNCATE_TOP_K
