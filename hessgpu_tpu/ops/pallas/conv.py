@@ -69,32 +69,53 @@ def octave_chain_pallas(base: jnp.ndarray,
         out = jnp.stack(levels, axis=1)
         return out if batched else out[0]
 
-    BR = min(_BR, (h + 7) // 8 * 8)
-    nblk = pl.cdiv(h, BR)
+    # block rows: tile h exactly when h is a multiple of 8 (nblk * BR ==
+    # hp == h), so the post-kernel crop is a no-op for the common shapes
+    nblk = pl.cdiv(h, _BR)
+    BR = (pl.cdiv(h, nblk) + 7) // 8 * 8
+    hp = nblk * BR
     brh = BR + (2 * R + 7) // 8 * 8
-    wp = (w + 2 * R + 127) // 128 * 128
+    # output width padded to the lane tiling: VMEM->HBM DMA slices must be
+    # 128-aligned along the last dim (cropped after the call when wo > w)
+    wo = (w + 127) // 128 * 128
+    wp = (wo + 2 * R + 127) // 128 * 128
 
-    bot = nblk * BR + brh - (h + R)
+    bot = hp + brh - (h + R)
     xp = jnp.pad(base, ((0, 0), (R, max(bot, R)), (R, wp - w - R)),
                  mode="edge")
 
-    def kernel(xp_hbm, out_ref, buf, sem):
+    def kernel(xp_hbm, out_hbm, buf, acc, sem_in, sem_out):
+        # the output stays in HBM (memory_space=ANY) and each level block
+        # is DMA'd out explicitly: with a VMEM-blocked out_spec, XLA's
+        # memory-space assignment pins the WHOLE (B, L, h, w) result into
+        # scoped VMEM whenever it fits under the 16 MB limit - at
+        # 1024x768 (15.7 MB + overhead) that OOMs the compile
         b = pl.program_id(0)
         blk = pl.program_id(1)
         row0 = pl.multiple_of(blk * BR, 8)
         cp = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(row0, brh), pl.ds(0, wp)], buf, sem)
+            xp_hbm.at[b, pl.ds(row0, brh), pl.ds(0, wp)], buf, sem_in)
         cp.start()
         cp.wait()
 
+        def emit(l, block):
+            acc[l, :, :] = block
+            cpo = pltpu.make_async_copy(
+                acc.at[l],
+                out_hbm.at[b, l, pl.ds(row0, BR), pl.ds(0, wo)],
+                sem_out.at[l])
+            cpo.start()
+            return cpo
+
         # canvas invariant: cur[i, j] = level image at
         # (row0 - R + cum + i, j - R + cum) where cum = sum of used radii
+        copies = []
         cur = buf[:, :]
         cum = 0
         for l, tp in enumerate(taps_list):
-            # emit level l
+            # emit level l (cols w..wo are pad, cropped by the caller)
             coff = R - cum
-            out_ref[0, l, :, :] = cur[coff:coff + BR, coff:coff + w]
+            copies.append(emit(l, cur[coff:coff + BR, coff:coff + wo]))
 
             r = len(tp) // 2
             if r == 0:
@@ -129,21 +150,25 @@ def octave_chain_pallas(base: jnp.ndarray,
             cum += r
 
         coff = R - cum
-        out_ref[0, L - 1, :, :] = cur[coff:coff + BR, coff:coff + w]
+        copies.append(emit(L - 1, cur[coff:coff + BR, coff:coff + wo]))
+        for cpo in copies:
+            cpo.wait()
 
     out = pl.pallas_call(
         kernel,
         grid=(B, nblk),
-        out_shape=jax.ShapeDtypeStruct((B, L, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, L, hp, wo), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, L, BR, w), lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((brh, wp), jnp.float32),
+            pltpu.VMEM((L, BR, wo), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((L,)),
         ],
         interpret=interpret,
     )(xp)
+    out = out if (hp == h and wo == w) else out[:, :, :h, :w]
     return out if batched else out[0]
 
 

@@ -204,6 +204,8 @@ def reconstruct_sequence(
     guided_rematch: bool = True,
     extend_tracks: bool = False,
     merge_tracks: bool = False,
+    keyframe_parallax_deg: float = 0.0,
+    keyframe_max_gap: int = 8,
 ) -> Optional[Reconstruction]:
     """Incremental SfM over an ordered list of per-image feature dicts
     (the output of HessianSift.run).
@@ -232,6 +234,19 @@ def reconstruct_sequence(
     over a PREFIX of the same sequence: registration continues at view
     resume.view_ids[-1] + 1 (feature_sets must cover the full sequence;
     loop closure / re-triangulation / final BA run as usual).
+
+    keyframe_parallax_deg > 0 enables keyframe selection: a registered
+    view is promoted to keyframe when the median triangulation parallax
+    (angle at the shared 3D points between the last keyframe's center and
+    this view's center) reaches the threshold, when 2D-3D connectivity
+    weakens, or after `keyframe_max_gap` frames. Fresh tracks are
+    triangulated ONLY between keyframes - adjacent video frames have
+    near-zero baseline, and depth triangulated from them is noise that
+    anchors the periodic BAs in a bad basin (the default-threshold
+    ATE-0.116 failure mode of round 2). Non-keyframes are still PnP
+    registered and contribute observations to existing tracks, so every
+    frame gets a pose and BA keeps full constraints. 0 disables (every
+    registered view triangulates, the round-2 behavior).
     """
     from ..matcher import SiftMatcher
 
@@ -259,7 +274,9 @@ def reconstruct_sequence(
             loop_closure=loop_closure, loop_gap=loop_gap,
             huber_delta=huber_delta, mesh=mesh, verbose=verbose,
             guided_rematch=guided_rematch, extend_tracks=extend_tracks,
-            merge_tracks=merge_tracks)
+            merge_tracks=merge_tracks,
+            keyframe_parallax_deg=keyframe_parallax_deg,
+            keyframe_max_gap=keyframe_max_gap)
 
     # ---- initialize from the first strong adjacent pair ------------------
     init_b = None
@@ -304,7 +321,9 @@ def reconstruct_sequence(
         loop_closure=loop_closure, loop_gap=loop_gap,
         huber_delta=huber_delta, mesh=mesh, verbose=verbose,
         guided_rematch=guided_rematch, extend_tracks=extend_tracks,
-        merge_tracks=merge_tracks)
+        merge_tracks=merge_tracks,
+        keyframe_parallax_deg=keyframe_parallax_deg,
+        keyframe_max_gap=keyframe_max_gap)
 
 
 # reprojection gate (px) for track extension / merge association; kept
@@ -347,13 +366,19 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
                         huber_delta, mesh, verbose,
                         guided_rematch=True,
                         extend_tracks=False,
-                        merge_tracks=False) -> Reconstruction:
+                        merge_tracks=False,
+                        keyframe_parallax_deg=0.0,
+                        keyframe_max_gap=8) -> Reconstruction:
     """Register views [start, n_img) into rec (lookback PnP; skip, don't
     break), then loop closure, re-triangulation, and the final BA. Shared
     by the fresh and checkpoint-resume paths of reconstruct_sequence."""
     # ---- register remaining views (lookback; skip, don't break) ----------
     skipped = 0
     merge_uf: Dict[int, int] = {}
+    use_kf = keyframe_parallax_deg > 0
+    # cameras promoted to keyframe (all pre-existing cameras count: the
+    # init pair defines the gauge and resume checkpoints carry structure)
+    kf_cams: List[int] = list(range(rec.num_cameras))
     # one observation per (camera, track): the 2D-3D loop and extensions
     # must not double-book a track in a view through two features
     obs_seen = {(c, t) for c, t, _, _ in rec.obs}
@@ -362,7 +387,15 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
         # registered views (nearest first so its matches win duplicates)
         pts3d, pts2d, new_pairs = [], [], []
         seen_fcur = set()
-        for v in reversed(rec.view_ids[-lookback:]):
+        if use_kf:
+            # keyframes hold the track structure; the latest view (even a
+            # non-keyframe) is the temporally closest match source
+            src_views = [rec.view_ids[c] for c in kf_cams[-lookback:]]
+            if rec.view_ids and rec.view_ids[-1] not in src_views:
+                src_views.append(rec.view_ids[-1])
+        else:
+            src_views = rec.view_ids[-lookback:]
+        for v in reversed(src_views):
             for fprev, fcur in matches(v, i):
                 fcur = int(fcur)
                 if fcur in seen_fcur:
@@ -402,11 +435,40 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
                                 float(feature_sets[i]["x"][fcur]),
                                 float(feature_sets[i]["y"][fcur])))
 
+        # keyframe decision: median triangulation parallax at the shared
+        # 3D points between the last keyframe's center and this one
+        is_kf = True
+        if use_kf and kf_cams:
+            ckf = kf_cams[-1]
+            gap = i - rec.view_ids[ckf]
+            tids = np.asarray([tid for (fc, tid), ok in zip(new_pairs, inl)
+                               if ok], int)
+            if len(tids) >= 8 and gap < keyframe_max_gap:
+                C_kf = -rec.R[ckf].T @ rec.t[ckf]
+                C_i = -Ri.T @ ti
+                Xs = rec.points[tids]
+                a, b = C_kf - Xs, C_i - Xs
+                cosang = np.sum(a * b, 1) / np.maximum(
+                    np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1),
+                    1e-12)
+                par = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+                is_kf = bool(np.median(par) >= keyframe_parallax_deg
+                             or len(tids) < max(30, min_matches))
+        if is_kf:
+            kf_cams.append(cam)
+
         # triangulate brand-new tracks between EVERY lookback view and i
         # (nearest first; single-pair triangulation starved the map when
-        # adjacent overlap was sparse - the round-2 ATE-0.23 failure mode)
+        # adjacent overlap was sparse - the round-2 ATE-0.23 failure mode).
+        # Keyframe mode: only keyframes triangulate, and only against
+        # previous KEYframes - adjacent-frame baselines are too narrow
         P_cur = K @ np.hstack([Ri, ti[:, None]])
-        for v_prev in reversed(rec.view_ids[-lookback - 1:-1]):
+        if use_kf:
+            prev_views = ([rec.view_ids[c] for c in kf_cams[-lookback - 1:-1]]
+                          if is_kf else [])
+        else:
+            prev_views = rec.view_ids[-lookback - 1:-1]
+        for v_prev in reversed(prev_views):
             cam_prev = rec.view_ids.index(v_prev)
             P_prev = K @ np.hstack([rec.R[cam_prev],
                                     rec.t[cam_prev][:, None]])
@@ -525,8 +587,10 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
                     tid += 1
 
         if rec.num_cameras % ba_every == 0:
+            # periodic BAs run the distributed path too when a mesh is
+            # given (sharded observations, psum-reduced matrix-free CG)
             rec = run_global_ba(rec, iterations=ba_iterations,
-                                huber_delta=huber_delta)
+                                huber_delta=huber_delta, mesh=mesh)
             if verbose:
                 print(f"view {i}: cams={rec.num_cameras} "
                       f"pts={rec.num_points}")

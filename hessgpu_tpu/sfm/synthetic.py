@@ -85,13 +85,22 @@ def look_at(center: np.ndarray, target: np.ndarray,
 
 
 def arc_trajectory(n_frames: int, radius: float = 3.0,
-                   sweep: float = 1.2) -> Tuple[np.ndarray, np.ndarray]:
+                   sweep: float = 1.2,
+                   passes: int = 1) -> Tuple[np.ndarray, np.ndarray]:
     """Camera centers on a horizontal arc in front of the corner, looking
-    at a fixed target; returns (R_w2c (N,3,3), centers (N,3))."""
+    at a fixed target; returns (R_w2c (N,3,3), centers (N,3)).
+
+    passes > 1 sweeps the arc back and forth (triangle wave): the camera
+    revisits earlier positions, so a long sequence carries genuine loop
+    closures for the pose graph (each pass crosses every arc position)."""
     target = np.array([0.0, 1.2, 3.0])
     Rs, cs = [], []
     for i in range(n_frames):
-        a = (-0.5 + i / max(n_frames - 1, 1)) * sweep
+        s = i / max(n_frames - 1, 1) * passes  # in [0, passes]
+        seg = int(min(s, passes - 1e-9))
+        frac = s - seg
+        u = frac if seg % 2 == 0 else 1.0 - frac
+        a = (-0.5 + u) * sweep
         c = np.array([radius * np.sin(a), 1.5 + 0.15 * np.sin(3 * a),
                       3.0 - radius * np.cos(a)])
         Rs.append(look_at(c, target))
@@ -160,7 +169,7 @@ def rot_to_quat(R: np.ndarray) -> np.ndarray:
 
 def write_tum_sequence(out_dir: str, n_frames: int = 40,
                        h: int = 240, w: int = 320,
-                       seed: int = 7) -> dict:
+                       seed: int = 7, passes: int = 1) -> dict:
     """Render a sequence and write the standard TUM RGB-D layout.
 
     Returns {"root": out_dir, "K": intrinsics, "gt_centers": (N, 3)}.
@@ -171,7 +180,7 @@ def write_tum_sequence(out_dir: str, n_frames: int = 40,
     planes = corner_scene(rng)
     f = 0.9 * w
     K = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]])
-    Rs, cs = arc_trajectory(n_frames)
+    Rs, cs = arc_trajectory(n_frames, passes=passes)
 
     os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
     rgb_lines = []
