@@ -5,8 +5,10 @@ Experiment #1, BASELINE.md rows 1-8) and a 2048x1500 code comment; every
 round-2 repo benchmark was 640x480. This bench times detect+describe on:
 
   - 1024x768  (the statistics.pdf Experiment-1 shape; 800-1.jpg resized)
-  - 1600x1200 (data/1600.jpg, full size - the largest image the
-    reference ships, still under the -maxd 3200 ceiling)
+  - 2048x1536 (data/1600.jpg full size - the filename lies about its
+    dimensions; this is the largest image the reference ships, just
+    under the -maxd 3200 ceiling and larger than the 2048x1500 shape
+    in the ProgramCU.cu:481-484 pyramid-time comment)
 
 single image per run (the realistic large-frame serving shape), with the
 reference TIMINGS_* per-stage device buckets. Prints ONE JSON line.
@@ -36,12 +38,12 @@ def _time_shape(img_gray: np.ndarray, cfg):
     h, w = img_gray.shape
     plan = make_plan(h, w, cfg)
     g = jnp.asarray(img_gray)
-    table = run_pipeline_jit(g, plan, _CfgKey(cfg))
+    table, _aux = run_pipeline_jit(g, plan, _CfgKey(cfg))
     jax.block_until_ready(table.x)
     n = int(jnp.sum(table.valid))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        table = run_pipeline_jit(g, plan, _CfgKey(cfg))
+        table, _aux = run_pipeline_jit(g, plan, _CfgKey(cfg))
     jax.block_until_ready(table.x)
     dt = (time.perf_counter() - t0) / ITERS
     return 1.0 / dt, n
@@ -65,19 +67,21 @@ def main():
                        np.float32)
     fps1024, n1024 = _time_shape(g1024, cfg)
 
-    img1600 = load_image("/root/reference/data/1600.jpg")
-    g1600 = np.asarray(rgb_to_gray(to_float(jnp.asarray(img1600))),
+    img2048 = load_image("/root/reference/data/1600.jpg")
+    assert img2048.shape[:2] == (1536, 2048), img2048.shape
+    g2048 = np.asarray(rgb_to_gray(to_float(jnp.asarray(img2048))),
                        np.float32)
-    fps1600, n1600 = _time_shape(g1600, cfg)
+    fps2048, n2048 = _time_shape(g2048, cfg)
 
     print(json.dumps({
         "metric": "large_image_fps_per_chip",
         "value": round(fps1024, 1),
-        "unit": "frames/s at 1024x768 (single image)",
+        "unit": "frames/s at 1024x768 (single image; 800-1.jpg "
+                "bilinear-resized to the statistics.pdf shape)",
         "vs_baseline": round(fps1024 / REFERENCE_HZ, 1),
         "features_1024": n1024,
-        "fps_1600x1200": round(fps1600, 1),
-        "features_1600": n1600,
+        "fps_2048x1536": round(fps2048, 1),
+        "features_2048": n2048,
         "device": str(jax.devices()[0]),
     }))
     return 0

@@ -69,16 +69,38 @@ def octave_chain_pallas(base: jnp.ndarray,
         out = jnp.stack(levels, axis=1)
         return out if batched else out[0]
 
-    # block rows: tile h exactly when h is a multiple of 8 (nblk * BR ==
-    # hp == h), so the post-kernel crop is a no-op for the common shapes
-    nblk = pl.cdiv(h, _BR)
-    BR = (pl.cdiv(h, nblk) + 7) // 8 * 8
-    hp = nblk * BR
-    brh = BR + (2 * R + 7) // 8 * 8
     # output width padded to the lane tiling: VMEM->HBM DMA slices must be
     # 128-aligned along the last dim (cropped after the call when wo > w)
     wo = (w + 127) // 128 * 128
     wp = (wo + 2 * R + 127) // 128 * 128
+
+    # block rows: tile h exactly when h is a multiple of 8 (nblk * BR ==
+    # hp == h), so the post-kernel crop is a no-op for the common shapes.
+    # The Mosaic vmem stack holds ~a dozen live (brh, wp) canvas
+    # temporaries for the unrolled chain, so at large widths the 128-row
+    # block passes the 16 MB scoped-vmem limit (compile-time OOM at
+    # 2048-wide; raising the limit via CompilerParams sends the compile
+    # into tens of minutes) - shrink the block until the estimated stack
+    # fits, else fall back to the per-level kernel (still Pallas, one HBM
+    # round-trip per level instead of one total).
+    halo = (2 * R + 7) // 8 * 8
+    for br0 in (128, 64, 32, 16):
+        est = (12 * (br0 + halo) * wp + len(taps_list) * br0 * wo) * 4
+        if est <= 14 * 1024 * 1024:
+            break
+    else:
+        x = base
+        levels = [x]
+        for tp in taps_list:
+            if tp:
+                x = blur_pallas(x, tp)
+            levels.append(x)
+        out = jnp.stack(levels, axis=1)
+        return out if batched else out[0]
+    nblk = pl.cdiv(h, br0)
+    BR = (pl.cdiv(h, nblk) + 7) // 8 * 8
+    hp = nblk * BR
+    brh = BR + halo
 
     bot = hp + brh - (h + R)
     xp = jnp.pad(base, ((0, 0), (R, max(bot, R)), (R, wp - w - R)),
@@ -158,8 +180,12 @@ def octave_chain_pallas(base: jnp.ndarray,
         kernel,
         grid=(B, nblk),
         out_shape=jax.ShapeDtypeStruct((B, L, hp, wo), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        # HBM, not ANY: at >=2048-wide shapes XLA's memory-space assignment
+        # promotes ANY operands into scoped VMEM next to the scratch and
+        # blows the 16 MB scoped-vmem limit (compile-time OOM); the kernel
+        # stages its own DMAs, so pin both sides to HBM
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((brh, wp), jnp.float32),
             pltpu.VMEM((L, BR, wo), jnp.float32),

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--runs", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--image", default="/root/reference/data/640-1.jpg")
+    ap.add_argument("--detector", default="hessian",
+                    choices=["hessian", "dog"])
     args = ap.parse_args()
 
     import jax
@@ -39,7 +41,7 @@ def main():
     img = load_image(args.image)
     g = np.asarray(rgb_to_gray(to_float(jnp.asarray(img))), np.float32)
     h, w = g.shape
-    cfg = SiftConfig()
+    cfg = SiftConfig(detector=args.detector)
     plan = make_plan(h, w, cfg)
     ckey = _CfgKey(cfg)
     batch = jax.device_put(jnp.asarray(np.stack([g] * args.batch)),
@@ -92,9 +94,58 @@ def main():
             n_events[name] = n_events.get(name, 0) + 1
 
     B = args.batch
+
+    # ---- analytic roofline: ideal HBM bytes per frame per bucket -------
+    # (the pipeline is bandwidth-bound at speed-of-light: every stage is
+    # stencil/gather work with trivial arithmetic intensity, so the bound
+    # is bytes moved / HBM bandwidth; v5e: ~819 GB/s)
+    HBM_GBPS = 819.0
+    p = cfg.scale_params()
+    NKEY = len(p.key_levels)
+    L = p.num_levels
+    G = min(cfg.global_feature_cap, sum(plan.level_caps))
+    import math as _m
+
+    from hessgpu_tpu.ops.descriptor import descriptor_window_size
+    ms_ = p.key_level_sigma(p.key_levels[-1]) * p.sigmak
+    owin = 2 * int(_m.ceil(abs(ms_) * cfg.orientation_gaussian_factor
+                           * cfg.orientation_window_factor + 1.0)) + 1
+    dwin = descriptor_window_size(ms_, cfg.descriptor_window_factor)
+    px = [hh * ww for (hh, ww) in plan.octave_shapes]
+    ideal = {
+        # read base + write L levels per octave (one kernel, f32)
+        "BUILD_PYRAMID": sum(4 * (1 + L) * n for n in px),
+        # read NP gauss planes; write NK * (u16 key + 2 i32 payload
+        # + 2 f32 grad/rot planes)
+        "DETECT_KEYPOINTS": sum(4 * (NKEY + 2) * n
+                                + NKEY * (10 + 8) * n for n in px),
+        # read the NK u16 key maps (pair-min + row sort reads; the
+        # candidate lists after stage 1 are ~KB-scale)
+        "GENERATE_FEATURE_LIST": sum(2 * NKEY * n for n in px),
+        # per-keypoint window gathers: G keypoints x window px x
+        # (grad + rot) f32
+        "COMPUTE_ORIENTATIONS": G * owin * owin * 8,
+        "MULTI_ORIENTATIONS": G * 4 * 6 * 4,   # sort/compact the table
+        "COMPUTE_DESCRIPTORS": G * dwin * dwin * 8,
+    }
+
     print(f"== bucket table (ms/frame, B={B}) ==")
+    print(f"  {'bucket':<24s} {'ms/frame':>9s} {'MB ideal':>9s} "
+          f"{'SoL ms':>8s} {'% SoL':>6s}")
     for b, v in buckets.items():
-        print(f"  {b:<24s} {v / B:8.4f}")
+        msf = v / B
+        if b in ideal:
+            mb = ideal[b] / 1e6
+            sol = ideal[b] / (HBM_GBPS * 1e9) * 1e3
+            pct = 100.0 * sol / msf if msf > 0 else 0.0
+            print(f"  {b:<24s} {msf:9.4f} {mb:9.2f} {sol:8.4f} {pct:5.1f}%")
+        else:
+            print(f"  {b:<24s} {msf:9.4f}")
+    tot_sol = sum(ideal.values()) / (HBM_GBPS * 1e9) * 1e3
+    tot_ms = sum(v for b, v in buckets.items() if b in ideal) / B
+    print(f"  ideal total {sum(ideal.values())/1e6:.2f} MB/frame -> "
+          f"{tot_sol:.4f} ms SoL vs {tot_ms:.4f} ms measured "
+          f"({100*tot_sol/max(tot_ms,1e-9):.1f}% of roofline)")
 
     print(f"\n== top {args.top} ops (total ms per call, bucket) ==")
     for name, ms in sorted(op_times.items(), key=lambda kv: -kv[1])[:args.top]:

@@ -18,10 +18,12 @@ from hessgpu_tpu.io_image import load_image
 
 
 @pytest.fixture(scope="module")
-def img800():
-    # 1600.jpg halved once: big enough to exercise multiple octaves,
-    # small enough for the CPU-backend CI budget
+def img1024():
+    # 1600.jpg is actually 2048x1536 (the filename lies); halved once it
+    # is 1024x768 — big enough to exercise multiple octaves, small enough
+    # for the CPU-backend CI budget
     img = load_image("/root/reference/data/1600.jpg")
+    assert img.shape[:2] == (1536, 2048), img.shape
     return np.ascontiguousarray(img[::2, ::2])
 
 
@@ -31,18 +33,18 @@ def _detect(img, max_dim):
     return HessianSift(cfg).run(img)
 
 
-def test_maxd_coordinates_land_on_fullres_features(img800):
+def test_maxd_coordinates_land_on_fullres_features(img1024):
     """Features detected under the cap (ds=1) must align with the
     full-resolution run's features in the shared original frame: each
     capped feature within scale*2 px of some full-res feature, and sigma
     doubled. This is a cross-scale repeatability gate on the coordinate
     mapping, not an identity check."""
-    full = _detect(img800, 3200)      # no downscale
-    capped = _detect(img800, 500)     # forces ds=1 (800 -> 400)
+    full = _detect(img1024, 3200)     # no downscale
+    capped = _detect(img1024, 600)    # forces ds=1 (1024 -> 512)
     assert len(capped["x"]) > 20
 
     # capped coordinates must span the ORIGINAL frame, not the working one
-    assert capped["x"].max() > 400.0
+    assert capped["x"].max() > 512.0
 
     fx, fy = full["x"], full["y"]
     hits = 0
@@ -58,8 +60,8 @@ def test_maxd_coordinates_land_on_fullres_features(img800):
     assert capped["sigma"].min() > full["sigma"].min() * 1.9
 
 
-def test_maxd_no_cap_is_identity(img800):
-    a = _detect(img800, 3200)
-    b = _detect(img800, 800)   # exactly at the cap: no downscale
+def test_maxd_no_cap_is_identity(img1024):
+    a = _detect(img1024, 3200)
+    b = _detect(img1024, 1024)  # exactly at the cap: no downscale
     np.testing.assert_array_equal(a["x"], b["x"])
     np.testing.assert_array_equal(a["desc"], b["desc"])
