@@ -222,6 +222,69 @@ def sharded_detect_keypoints(img: jnp.ndarray, cfg, mesh: Mesh):
     return _sharded_detect_impl(img, cfg, mesh, describe=False)
 
 
+def _global_keep(fls, cfg, axis_name: str, G: int):
+    """Cross-shard global-cap + truncation mask for the sharded pipeline.
+
+    Mirrors the single-chip pyramid stages exactly: the globalize cap
+    (first G valid slots in level-major raster order), then
+    LimitFeatureCount (-topk / -tc1 / -tc2, SiftPyramid.cpp:201-278 via
+    pyramid._topk_mask / _level_trunc_mask). The per-shard (level, slot)
+    tables are all_gathered - they are a few KB - so every shard computes
+    the identical global mask and slices out its own block.
+
+    fls: per-global-level FeatureLists (local shard, cap slots each).
+    Returns (L, cap) bool: this shard's keep mask.
+    """
+    from ..config import (TRUNCATE_KEEP_HIGHEST_LEVELS,
+                          TRUNCATE_KEEP_LOWEST_LEVELS, TRUNCATE_TOP_K)
+
+    L = len(fls)
+    cap = fls[0].valid.shape[0]
+    n = jax.lax.axis_size(axis_name)
+    shard = jax.lax.axis_index(axis_name)
+    lv = jnp.stack([fl.valid for fl in fls])                 # (L, cap)
+    la = jnp.stack([jnp.abs(fl.response) for fl in fls])
+    av = jax.lax.all_gather(lv, axis_name)                   # (n, L, cap)
+    aa = jax.lax.all_gather(la, axis_name)
+    # (n, L, cap) -> level-major, shard-major, slot-major = the global
+    # raster order within each level (shard s covers rows [s*hloc, ...))
+    av = jnp.transpose(av, (1, 0, 2)).reshape(-1)
+    aa = jnp.transpose(aa, (1, 0, 2)).reshape(-1)
+
+    rank = jnp.cumsum(av.astype(jnp.int32)) - 1
+    keep = av & (rank < G)
+
+    k = cfg.feature_count_threshold
+    if k > 0:
+        if cfg.truncate_method == TRUNCATE_TOP_K:
+            absr = jnp.where(keep, aa, -jnp.inf)
+            kk = min(k, absr.shape[0])
+            vk = jax.lax.top_k(absr, kk)[0][-1]
+            above = absr > vk
+            n_above = jnp.sum(above.astype(jnp.int32))
+            ties = absr == vk
+            tie_rank = jnp.cumsum(ties.astype(jnp.int32))
+            keep &= above | (ties & (tie_rank <= (kk - n_above)))
+        elif cfg.truncate_method in (TRUNCATE_KEEP_LOWEST_LEVELS,
+                                     TRUNCATE_KEEP_HIGHEST_LEVELS):
+            counts = jnp.sum(keep.reshape(L, -1).astype(jnp.int32), axis=1)
+            if cfg.truncate_method == TRUNCATE_KEEP_LOWEST_LEVELS:
+                cum = jnp.cumsum(counts)
+                keep_level = (cum - counts) < k
+            else:
+                total = jnp.sum(counts)
+                suffix = total - (jnp.cumsum(counts) - counts)
+                keepable = suffix <= k
+                first_keep = jnp.argmax(keepable)
+                first_keep = jnp.where(jnp.any(keepable), first_keep, L - 1)
+                keep_level = jnp.arange(L) >= first_keep
+            keep &= jnp.repeat(keep_level, n * cap)
+
+    keep3 = keep.reshape(L, n, cap)
+    return jax.lax.dynamic_index_in_dim(keep3, shard, axis=1,
+                                        keepdims=False)
+
+
 def sharded_detect_and_describe(img: jnp.ndarray, cfg, mesh: Mesh):
     """Full detect+describe on a row-sharded image: the complete
     replacement for the reference's -maxd ceiling (GlobalUtil.cpp:82).
@@ -231,20 +294,62 @@ def sharded_detect_and_describe(img: jnp.ndarray, cfg, mesh: Mesh):
     exchanges `pad` halo rows with its ring neighbours via ppermute - the
     same pattern as the blur halos - so every keypoint's full window is
     shard-local. Window gathers, histogram masks, and descriptor math are
-    performed in GLOBAL octave coordinates against the same helpers the
-    single-chip jnp path uses (_histogram36 / _descriptor_one), so
-    thetas and descriptors match the single-chip pipeline bit-for-bit.
+    performed in GLOBAL octave coordinates, so thetas and descriptors
+    match the single-chip pipeline bit-for-bit.
+
+    Full single-chip API parity: the global feature cap and the
+    -topk/-tc1/-tc2 truncation modes apply ACROSS shards before the
+    orientation/descriptor work (all_gather of the per-shard response
+    heads + the same mask math as pyramid._topk_mask, see _global_keep),
+    and the result is a FeatureTable exactly like detect_and_describe's
+    (capacity G in single-orientation mode, G * expansion_factor after
+    multi-orientation expansion). Membership can differ from the
+    single-chip run only when one shard's per-level cap overflows
+    (cap/n + 8 slots per shard vs cap globally).
 
     Octaves whose shard band is shorter than the halo are computed
     replicated (shard 0 reports), like small octaves in
     sharded_detect_keypoints.
-
-    Returns a dict of (L_total, n_shards * cap * MO) arrays: x, y, sigma,
-    theta, response, ftype, valid, plus desc
-    (L_total, n_shards * cap * MO, D) - MO = 1 in single-orientation mode
-    else 4 slots per keypoint (invalid slots masked).
     """
-    return _sharded_detect_impl(img, cfg, mesh, describe=True)
+    res, G = _sharded_detect_impl(img, cfg, mesh, describe=True)
+    single = cfg.max_orientations <= 1 or cfg.fixed_orientation
+    G_out = G if single else \
+        int(G * cfg.expansion_factor + 7) // 8 * 8
+    return _assemble_feature_table(res, G_out)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _assemble_feature_table(res: dict, G: int):
+    """Compact the sharded per-level slot dict into one FeatureTable.
+
+    res leaves are (L_total, n * cap * MO) in level-major, shard-major,
+    keypoint-major, orientation-slot order - the same relative order as
+    the single-chip global table after multi-orientation expansion, so
+    the compacted table matches detect_and_describe's row for row (when
+    no per-shard cap overflows). G: output capacity (the pipeline's G in
+    single-orientation mode, G * expansion_factor after expansion).
+    """
+    from ..features import FeatureTable
+    from ..ops.compaction import compact_indices
+
+    L, S = res["valid"].shape
+    G = min(G, L * S)
+
+    valid = res["valid"].reshape(-1)
+    src, slot_valid, _cnt = compact_indices(valid, G)
+    lid = jnp.repeat(jnp.arange(L, dtype=jnp.int32), S)
+
+    def take(a, fill=0):
+        g = a.reshape(-1)[src]
+        return jnp.where(slot_valid, g, jnp.asarray(fill, g.dtype))
+
+    desc = res["desc"].reshape(L * S, -1)[src]
+    desc = jnp.where(slot_valid[:, None], desc, 0.0)
+    return FeatureTable(
+        x=take(res["x"]), y=take(res["y"]), sigma=take(res["sigma"]),
+        theta=take(res["theta"]), response=take(res["response"]),
+        level=jnp.where(slot_valid, lid[src], 0),
+        ftype=take(res["ftype"]), valid=slot_valid, desc=desc)
 
 
 def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
@@ -329,10 +434,15 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
         if p.octave_restart_sigma() > 0 else ()
     norms = tuple((p.level_sigma(l) ** 4)
                   for l in range(p.level_min, p.level_max + 1))
-    caps = [max(8, max_features_per_level(
-        h, w, cfg.max_feature_percent, cfg.max_level_features) // n + 8)
+    full_caps = [max_features_per_level(
+        h, w, cfg.max_feature_percent, cfg.max_level_features)
         for (h, w) in shapes]
+    caps = [max(8, c // n + 8) for c in full_caps]
     cap = max(caps)
+    # the single-chip pipeline's global cap (run_pipeline: G =
+    # min(global_feature_cap, sum of all per-level caps))
+    G = min(cfg.global_feature_cap,
+            sum(full_caps) * len(p.key_levels))
     sigma_step = p.sigmak
 
     def _ext(x):
@@ -348,6 +458,7 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
     def block_fn(block):
         shard = jax.lax.axis_index(axis)
         out = []
+        per_level = []
         base = block
         if not sharded_oct[0]:
             base = jax.lax.all_gather(base, axis).reshape(H, W)
@@ -435,11 +546,12 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
             # buffer row 0 = global octave row `off`
             off = (grow0 - halo) if shd else 0
 
-            def _win(buf, ky, kx, wsize):
+            def _win(buf, ky, kx, wsize, ho=ho, w_o=w_o, off=off):
                 # mirror ops.gather.window_gather exactly, in GLOBAL
                 # octave coordinates: unclamped origin, per-index clamp
                 # to the octave extent, reads translated into the local
-                # band+halo buffer
+                # band+halo buffer (ho/w_o/off bound per octave - this
+                # closure outlives the loop iteration in describe mode)
                 r = (wsize - 1) // 2
                 y0 = jnp.floor(ky).astype(jnp.int32) - r
                 x0 = jnp.floor(kx).astype(jnp.int32) - r
@@ -489,8 +601,20 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
                         valid=fl.valid))
                     continue
 
+                per_level.append((fl, gbufs[kl], rbufs[kl], _win, w_o,
+                                  ho, grow0, oss))
+
+        if describe:
+            # single-chip-parity global cap + -topk/-tc* truncation
+            # BEFORE the orientation/descriptor work (the reference
+            # truncates before GetFeatureOrientations, SiftPyramid.cpp:
+            # 131-139); the masks are computed identically on every shard
+            keep = _global_keep([t[0] for t in per_level], cfg, axis, G)
+            for li, (fl, gbuf, rbuf, winf, w_o, ho, grow0, oss) \
+                    in enumerate(per_level):
+                fl = fl._replace(valid=fl.valid & keep[li])
                 out.append(_orient_describe_level(
-                    fl, gbufs[kl], rbufs[kl], _win, cfg, w_o, ho, grow0,
+                    fl, gbuf, rbuf, winf, cfg, w_o, ho, grow0,
                     oss, owin, dwin, single, MO, TYPE_NONE))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *out)
 
@@ -504,4 +628,5 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
         in_specs=P(axis, None),
         out_specs=ospec))
     sharding = NamedSharding(mesh, P(axis, None))
-    return fn(jax.device_put(img, sharding))
+    res = fn(jax.device_put(img, sharding))
+    return (res, G) if describe else res

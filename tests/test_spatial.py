@@ -131,10 +131,10 @@ def test_sharded_describe_matches_pipeline(mesh, rng):
     img = _smooth_image(rng, 3328, 256)
 
     res = sharded_detect_and_describe(jnp.asarray(img), cfg, mesh)
-    v = np.asarray(res["valid"]).ravel()
-    got = np.stack([np.asarray(res[k]).ravel()[v].astype(np.float64)
-                    for k in ("x", "y", "sigma", "theta")], 1)
-    gdesc = np.asarray(res["desc"]).reshape(-1, 128)[v]
+    v = np.asarray(res.valid)
+    got = np.stack([np.asarray(a)[v].astype(np.float64)
+                    for a in (res.x, res.y, res.sigma, res.theta)], 1)
+    gdesc = np.asarray(res.desc)[v]
     order = np.lexsort((got[:, 3], got[:, 2], got[:, 1], got[:, 0]))
     got, gdesc = got[order], gdesc[order]
 
@@ -151,6 +151,38 @@ def test_sharded_describe_matches_pipeline(mesh, rng):
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(gdesc, wdesc, atol=1e-5)
+
+
+def test_sharded_topk_matches_pipeline(mesh, rng):
+    """-topk applies ACROSS shards before orientation/descriptor work and
+    the result matches the single-chip pipeline row for row."""
+    from hessgpu_tpu.config import TRUNCATE_TOP_K, SiftConfig
+    from hessgpu_tpu.parallel.spatial import sharded_detect_and_describe
+    from hessgpu_tpu.pyramid import detect_and_describe
+
+    cfg = SiftConfig()
+    cfg.threshold = 0.001
+    cfg.max_level_features = 256
+    cfg.truncate_method = TRUNCATE_TOP_K
+    cfg.feature_count_threshold = 40
+    img = _smooth_image(rng, 512, 192)
+
+    res = sharded_detect_and_describe(jnp.asarray(img), cfg, mesh)
+    v = np.asarray(res.valid)
+    table, _ = detect_and_describe(np.asarray(img), cfg)
+    wv = np.asarray(table.valid)
+
+    assert v.sum() == wv.sum()
+    assert 0 < v.sum() <= 40 * 4   # 40 keypoints, <= 4 orientations each
+    # row-for-row: same membership AND same order as the single-chip table
+    for a, b in ((res.x, table.x), (res.y, table.y),
+                 (res.sigma, table.sigma), (res.theta, table.theta),
+                 (res.response, table.response), (res.ftype, table.ftype)):
+        np.testing.assert_allclose(np.asarray(a)[v].astype(np.float64),
+                                   np.asarray(b)[wv].astype(np.float64),
+                                   rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.desc)[v],
+                               np.asarray(table.desc)[wv], atol=1e-5)
 
 
 def test_sharded_detect_multi_octave_matches_one_device(mesh, rng):
