@@ -252,8 +252,14 @@ def detect_octave_pallas(
         return jax.vmap(one)(gauss_oct)
 
     # smaller row blocks than the per-level kernel: 8 outputs x NK levels
-    # stream per program, and double-buffered output blocks must fit VMEM
+    # stream per program, and double-buffered output blocks must fit VMEM.
+    # The Mosaic vmem stack holds ~50 live (BRD, W) temporaries for the
+    # unrolled key-level loop (observed 26.9 MB at BRD=32, W=2048), so
+    # wide octaves shrink the row block to stay under the 16 MB scoped
+    # limit; benchmark shapes (W <= 1024) keep BRD=32.
     BRD = 32
+    while BRD > 8 and 55 * BRD * W * 4 > 13 * 1024 * 1024:
+        BRD //= 2
     nblk = pl.cdiv(H, BRD)
     BRH = BRD + 8           # 2-row halos each side, rounded to sublanes
     Wc = (W + 127) // 128 * 128   # canvas write width (lane-aligned)

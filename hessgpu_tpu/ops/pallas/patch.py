@@ -97,7 +97,11 @@ class PackingPlan:
             ch = (h + pad8 + pad + 40 + 7) // 8 * 8
             cw = (w + pad128 + pad + 256 + 127) // 128 * 128
             cells.append((ch, cw))
-        Hp, Wp = cells[0]
+        # plane size = the largest cell (in the pipeline that is always
+        # cells[0], octave 0; the sharded-band canvases can have a later
+        # replicated octave taller than the octave-0 band)
+        Hp = max(ch for (ch, _) in cells)
+        Wp = max(cw for (_, cw) in cells)
 
         # shelf packing: full-height cells get their own plane; smaller
         # cells fill shared planes left-to-right, top-to-bottom

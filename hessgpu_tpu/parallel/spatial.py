@@ -13,7 +13,7 @@ the single-chip ops so results match bit-for-bit up to edge handling.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -222,6 +222,99 @@ def sharded_detect_keypoints(img: jnp.ndarray, cfg, mesh: Mesh):
     return _sharded_detect_impl(img, cfg, mesh, describe=False)
 
 
+def _orient_describe_pallas_all(per_level, cfg, halo: int, owin: int,
+                                dwin: int, single: bool, MO: int,
+                                type_none: int, interpret: bool):
+    """Kernel-path orientations + descriptors for ALL levels of the
+    sharded pipeline in two Pallas launches (the same ops/pallas/patch.py
+    kernels the single-chip pipeline runs).
+
+    The per-level band+halo grad/rot buffers pack into a canvas
+    (build_padded_stack); the level lookup tables are then rebased so the
+    kernels work in GLOBAL octave coordinates: row_off shifts by each
+    band's global start (so a global keypoint row lands on its canvas
+    row) and level_h becomes the GLOBAL octave height (the membership
+    masks test absolute coordinates against it, exactly like the jnp
+    _win clamp). Everything else - window DMA, alignment, masking,
+    descriptor math - is byte-identical to the single-chip kernel path.
+
+    per_level: list of (fl, gbuf, rbuf, off, w_o, ho, grow0, oss).
+    Returns the same per-level slot dicts as _orient_describe_level.
+    """
+    from ..ops.descriptor import normalize_descriptors
+    from ..ops.pallas.patch import (PackedStack, build_padded_stack,
+                                    descriptor_pallas, orientation_pallas)
+
+    TWO_PI = 2.0 * np.pi
+    L = len(per_level)
+    cap = per_level[0][0].x.shape[0]
+    pstack = build_padded_stack([t[1] for t in per_level],
+                                [t[2] for t in per_level], halo)
+    offs = jnp.stack([jnp.asarray(t[3], jnp.int32) for t in per_level])
+    hos = jnp.asarray([t[5] for t in per_level], jnp.int32)
+    pstack = PackedStack(pstack.grad, pstack.rot, pstack.plane,
+                         pstack.row_off - offs, pstack.col_off,
+                         hos, pstack.level_w)
+
+    kx = jnp.concatenate([t[0].x for t in per_level])
+    ky = jnp.concatenate([t[0].y + t[6] for t in per_level])
+    ks = jnp.concatenate([t[0].sigma for t in per_level])
+    kv = jnp.concatenate([t[0].valid for t in per_level])
+    lid = jnp.repeat(jnp.arange(L, dtype=jnp.int32), cap)
+
+    if cfg.fixed_orientation:
+        thetas = jnp.zeros((L * cap, MO))
+        tvalid = jnp.zeros((L * cap, MO), bool).at[:, 0].set(True)
+    else:
+        thetas, tvalid = orientation_pallas(
+            kx, ky, ks, kv, lid, pstack,
+            wsize=owin, pad=halo,
+            gaussian_factor=cfg.orientation_gaussian_factor,
+            window_factor=cfg.orientation_window_factor,
+            peak_threshold=cfg.multi_orientation_threshold,
+            half_sift=cfg.half_sift, single=single,
+            max_peaks=cfg.max_orientations,
+            interpret=interpret)
+        thetas = thetas[:, :MO]
+        tvalid = tvalid[:, :MO]
+
+    vslot = (kv[:, None] & tvalid).reshape(-1)
+    rep = lambda a: jnp.repeat(a, MO)
+    th_flat = thetas.reshape(-1)
+
+    if cfg.compute_descriptors:
+        desc = descriptor_pallas(
+            rep(kx), rep(ky), rep(ks), th_flat, vslot, rep(lid), pstack,
+            wsize=dwin, pad=halo,
+            window_factor=cfg.descriptor_window_factor,
+            mxu=True, interpret=interpret)
+        desc = jnp.where(vslot[:, None], desc, 0.0)
+        if cfg.half_sift:
+            d = desc.reshape(-1, 16, 8)
+            desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
+        if cfg.normalized_sift:
+            desc = normalize_descriptors(desc, vslot)
+    else:
+        desc = jnp.zeros((vslot.shape[0],
+                          64 if cfg.half_sift else 128), jnp.float32)
+
+    oss = rep(jnp.concatenate(
+        [jnp.full((cap,), t[7], jnp.float32) for t in per_level]))
+    resp = jnp.concatenate([t[0].response for t in per_level])
+    ftyp = jnp.concatenate([t[0].ftype for t in per_level])
+    res = dict(
+        x=jnp.where(vslot, oss * (rep(kx) - 0.5) + 0.5, 0.0),
+        y=jnp.where(vslot, oss * (rep(ky) - 0.5) + 0.5, 0.0),
+        sigma=jnp.where(vslot, oss * rep(ks), 0.0),
+        theta=jnp.where(vslot, jnp.mod(TWO_PI - th_flat, TWO_PI), 0.0),
+        response=jnp.where(vslot, rep(resp), 0.0),
+        ftype=jnp.where(vslot, rep(ftyp), type_none),
+        valid=vslot,
+        desc=desc)
+    return [jax.tree.map(lambda a: a.reshape((L, cap * MO) + a.shape[1:])
+                         [li], res) for li in range(L)]
+
+
 def _global_keep(fls, cfg, axis_name: str, G: int):
     """Cross-shard global-cap + truncation mask for the sharded pipeline.
 
@@ -285,7 +378,8 @@ def _global_keep(fls, cfg, axis_name: str, G: int):
                                         keepdims=False)
 
 
-def sharded_detect_and_describe(img: jnp.ndarray, cfg, mesh: Mesh):
+def sharded_detect_and_describe(img: jnp.ndarray, cfg, mesh: Mesh,
+                                use_pallas: Optional[bool] = None):
     """Full detect+describe on a row-sharded image: the complete
     replacement for the reference's -maxd ceiling (GlobalUtil.cpp:82).
 
@@ -310,8 +404,14 @@ def sharded_detect_and_describe(img: jnp.ndarray, cfg, mesh: Mesh):
     Octaves whose shard band is shorter than the halo are computed
     replicated (shard 0 reports), like small octaves in
     sharded_detect_keypoints.
+
+    use_pallas: run the per-keypoint stages through the same Pallas patch
+    kernels as the single-chip pipeline, against each shard's band+halo
+    canvas (_orient_describe_pallas_all). Default: on for accelerators,
+    off (jnp helpers) on CPU - exactly the pipeline's policy.
     """
-    res, G = _sharded_detect_impl(img, cfg, mesh, describe=True)
+    res, G = _sharded_detect_impl(img, cfg, mesh, describe=True,
+                                  use_pallas=use_pallas)
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
     G_out = G if single else \
         int(G * cfg.expansion_factor + 7) // 8 * 8
@@ -353,7 +453,8 @@ def _assemble_feature_table(res: dict, G: int):
 
 
 def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
-                         describe: bool):
+                         describe: bool,
+                         use_pallas: Optional[bool] = None):
     """Full multi-octave keypoint detection on a row-sharded image.
 
     Replaces the reference's hard -maxd working-size ceiling
@@ -416,6 +517,11 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
         halo = (max(owin, dwin) - 1) // 2 + 2
         single = cfg.max_orientations <= 1 or cfg.fixed_orientation
         MO = 1 if single else 4
+    # pipeline policy: Pallas patch kernels on accelerators, jnp helpers
+    # on CPU (interpret mode is only for explicit parity tests)
+    interpret = jax.default_backend() == "cpu"
+    kernel_patch = cfg.use_pallas and not interpret \
+        if use_pallas is None else use_pallas
     min_rows = max(MIN_SHARD_ROWS, halo)
     sharded_oct = []
     for (h, w) in shapes:
@@ -601,8 +707,8 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
                         valid=fl.valid))
                     continue
 
-                per_level.append((fl, gbufs[kl], rbufs[kl], _win, w_o,
-                                  ho, grow0, oss))
+                per_level.append((fl, gbufs[kl], rbufs[kl], off, w_o,
+                                  ho, grow0, oss, _win))
 
         if describe:
             # single-chip-parity global cap + -topk/-tc* truncation
@@ -610,12 +716,18 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
             # truncates before GetFeatureOrientations, SiftPyramid.cpp:
             # 131-139); the masks are computed identically on every shard
             keep = _global_keep([t[0] for t in per_level], cfg, axis, G)
-            for li, (fl, gbuf, rbuf, winf, w_o, ho, grow0, oss) \
-                    in enumerate(per_level):
-                fl = fl._replace(valid=fl.valid & keep[li])
-                out.append(_orient_describe_level(
-                    fl, gbuf, rbuf, winf, cfg, w_o, ho, grow0,
-                    oss, owin, dwin, single, MO, TYPE_NONE))
+            per_level = [(t[0]._replace(valid=t[0].valid & keep[li]),)
+                         + t[1:] for li, t in enumerate(per_level)]
+            if kernel_patch:
+                out = _orient_describe_pallas_all(
+                    per_level, cfg, halo, owin, dwin, single, MO,
+                    TYPE_NONE, interpret=interpret)
+            else:
+                for (fl, gbuf, rbuf, _off, w_o, ho, grow0, oss, winf) \
+                        in per_level:
+                    out.append(_orient_describe_level(
+                        fl, gbuf, rbuf, winf, cfg, w_o, ho, grow0,
+                        oss, owin, dwin, single, MO, TYPE_NONE))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *out)
 
     keys = ["x", "y", "sigma", "response", "ftype", "valid"]
@@ -626,7 +738,9 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
     fn = jax.jit(jax.shard_map(
         block_fn, mesh=mesh,
         in_specs=P(axis, None),
-        out_specs=ospec))
+        out_specs=ospec,
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        check_vma=False))
     sharding = NamedSharding(mesh, P(axis, None))
     res = fn(jax.device_put(img, sharding))
     return (res, G) if describe else res
