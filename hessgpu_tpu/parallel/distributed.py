@@ -50,7 +50,8 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
                   loc1: jnp.ndarray = None, loc2: jnp.ndarray = None,
                   H=None, F=None,
                   hdistmax: float = 32.0,
-                  fdistmax: float = 16.0) -> jnp.ndarray:
+                  fdistmax: float = 16.0,
+                  n2_tile: Optional[int] = None) -> jnp.ndarray:
     """Pairwise matching with d1's rows sharded across the mesh.
 
     d1: (N1, 128) u8 (any N1 - rows are zero-padded up to a multiple of
@@ -66,6 +67,15 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
     geometric gate are masked before the argmax, exactly as
     matcher._guided_gate does on one chip. A None matrix skips its test
     (identity/huge-threshold convention, SiftMatchGPU semantics).
+
+    n2_tile: map-scale mode - the local dot block is computed one
+    (N1/n, n2_tile) column tile at a time under lax.scan (running top-2
+    merge for the row side; columns are tile-local so their stats are
+    final per tile), so peak memory is O(N1/n * n2_tile) instead of
+    O(N1/n * N2). At N1=N2=1e5 the untiled block would be 5 GB/chip.
+    Auto-enabled (8192 cols) when the full block would exceed ~256 MB.
+    Results are identical to the untiled path (same reductions; tile
+    boundaries only regroup max/argmax merges, which are exact).
     """
     from ..matcher import _guided_gate
 
@@ -93,20 +103,86 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
                            ((0, n1p - n1), (0, 0)))
     nloc = n1p // mesh.size
 
-    def local_fn(d1s, d2r, *locs):
+    n2 = d2.shape[0]
+    if n2_tile is None and nloc * n2 * 4 > 256 * 1024 * 1024:
+        n2_tile = 8192
+    if n2_tile is not None:
+        n2_tile = min(n2_tile, n2)
+        n2p = -(-n2 // n2_tile) * n2_tile
+        if n2p != n2:
+            d2 = jnp.pad(d2, ((0, n2p - n2), (0, 0)))
+            if guided:
+                loc2 = jnp.pad(jnp.asarray(loc2, jnp.float32),
+                               ((0, n2p - n2), (0, 0)))
+
+    def _tile_dots(d1s, d2t, l1s, l2t, col0):
         a = d1s.astype(jnp.bfloat16)
-        b = d2r.astype(jnp.bfloat16)
+        b = d2t.astype(jnp.bfloat16)
         dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
         if guided:
-            l1s, l2r = locs
-            gate = _guided_gate(l1s, l2r, H, hdistmax, F, fdistmax)
+            gate = _guided_gate(l1s, l2t, H, hdistmax, F, fdistmax)
             dots = jnp.where(gate, dots, -1.0)
+        if n2_tile is not None and d2.shape[0] != n2:
+            # padded columns must stay out of the second-best values in
+            # guided mode (ungated zero-pad rows would inject 0s)
+            colio = col0 + jnp.arange(dots.shape[1])
+            dots = jnp.where(colio[None, :] < n2, dots,
+                             -1.0 if guided else 0.0)
+        return dots
 
-        # row side: local argmax/2nd
-        ri = jnp.argmax(dots, axis=1)
+    def _row_col_stats(dots, col0, shard):
+        # row side: argmax/max/2nd within these columns
+        ri = jnp.argmax(dots, axis=1) + col0
         rv = jnp.max(dots, axis=1)
-        onehot = jax.nn.one_hot(ri, dots.shape[1], dtype=jnp.bool_, axis=1)
+        onehot = jax.nn.one_hot(ri - col0, dots.shape[1], dtype=jnp.bool_,
+                                axis=1)
         rn = jnp.max(jnp.where(onehot, -jnp.inf, dots), axis=1)
+        # column side: these columns' final local stats
+        cv = jnp.max(dots, axis=0)
+        ci_local = jnp.argmax(dots, axis=0)
+        ci = ci_local + shard * nloc
+        oh = jax.nn.one_hot(ci_local, dots.shape[0], dtype=jnp.bool_,
+                            axis=0)
+        cn = jnp.max(jnp.where(oh, -jnp.inf, dots), axis=0)
+        return ri, rv, rn, cv, ci, cn
+
+    def local_fn(d1s, d2r, *locs):
+        l1s, l2r = locs if guided else (None, None)
+        shard = jax.lax.axis_index(axis)
+        if n2_tile is None:
+            dots = _tile_dots(d1s, d2r, l1s, l2r, 0)
+            ri, rv, rn, cv, ci, cn = _row_col_stats(dots, 0, shard)
+        else:
+            ntile = d2r.shape[0] // n2_tile
+            d2t = d2r.reshape(ntile, n2_tile, -1)
+            l2t = l2r.reshape(ntile, n2_tile, -1) if guided else \
+                jnp.zeros((ntile, 1, 1))
+
+            def step(carry, xs):
+                v1, i1, v2 = carry
+                dt, lt, ti = xs
+                col0 = ti * n2_tile
+                dots = _tile_dots(d1s, dt, l1s,
+                                  lt if guided else None, col0)
+                tri, trv, trn, tcv, tci, tcn = _row_col_stats(
+                    dots, col0, shard)
+                # exact running top-2 merge: the global second is either
+                # the loser of the two firsts or one of the seconds
+                nv1 = jnp.maximum(v1, trv)
+                ni1 = jnp.where(trv > v1, tri, i1)   # ties keep earlier
+                nv2 = jnp.maximum(jnp.minimum(v1, trv),
+                                  jnp.maximum(v2, trn))
+                return (nv1, ni1, nv2), (tcv, tci, tcn)
+
+            init = (jnp.full((nloc,), -jnp.inf, jnp.float32),
+                    jnp.zeros((nloc,), jnp.int32),
+                    jnp.full((nloc,), -jnp.inf, jnp.float32))
+            (rv, ri, rn), (cvs, cis, cns) = jax.lax.scan(
+                step, init,
+                (d2t, l2t, jnp.arange(ntile, dtype=jnp.int32)))
+            cv = cvs.reshape(-1)[:n2]
+            ci = cis.reshape(-1)[:n2]
+            cn = cns.reshape(-1)[:n2]
 
         def accept(bv, nv):
             dist = jnp.arccos(jnp.minimum(bv * INV_512_SQ, 1.0))
@@ -118,22 +194,15 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
         if not mutual_best:
             return row_match
 
-        # column side: per-shard col max/argmax(global row idx)/2nd, then
+        # column side stats (computed above, per tile in map-scale mode):
         # combine across shards with an all-gather (small: (3, N2) each)
-        shard = jax.lax.axis_index(axis)
-        cv = jnp.max(dots, axis=0)
-        ci_local = jnp.argmax(dots, axis=0)
-        ci = ci_local + shard * nloc
-        oh = jax.nn.one_hot(ci_local, dots.shape[0], dtype=jnp.bool_, axis=0)
-        cn = jnp.max(jnp.where(oh, -jnp.inf, dots), axis=0)
-
         all_cv = jax.lax.all_gather(cv, axis)      # (n_shards, N2)
         all_ci = jax.lax.all_gather(ci, axis)
         all_cn = jax.lax.all_gather(cn, axis)
 
         best_shard = jnp.argmax(all_cv, axis=0)    # (N2,)
-        n2 = all_cv.shape[1]
-        cols = jnp.arange(n2)
+        n2g = all_cv.shape[1]
+        cols = jnp.arange(n2g)
         best_v = all_cv[best_shard, cols]
         best_i = all_ci[best_shard, cols]
         # global second-best: max of (per-shard seconds, other shards' bests)
@@ -144,7 +213,7 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
 
         col_match = jnp.where(accept(best_v, second_v) & (best_v > 0),
                               best_i, -1)
-        mutual = col_match[jnp.clip(row_match, 0, n2 - 1)] == \
+        mutual = col_match[jnp.clip(row_match, 0, n2g - 1)] == \
             (jnp.arange(nloc) + shard * nloc)
         return jnp.where((row_match >= 0) & mutual, row_match, -1)
 
@@ -159,5 +228,8 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
                                 NamedSharding(mesh, P(None, None)))]
     fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
                                in_specs=tuple(in_specs),
-                               out_specs=P(axis)))
+                               out_specs=P(axis),
+                               # the scan carry in map-scale mode starts
+                               # unvarying; skip the varying-mesh-axes check
+                               check_vma=False))
     return fn(*args)[:n1]

@@ -87,3 +87,40 @@ def test_match_sharded_guided_equals_local(mesh, rng, use_h, use_f):
         loc1=jnp.asarray(loc1), loc2=jnp.asarray(loc2),
         H=H if use_h else None, F=F if use_f else None))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mutual", [True, False])
+def test_match_sharded_tiled_equals_untiled(mesh, rng, mutual):
+    """Map-scale mode (n2_tile): identical results, N2 not a multiple of
+    the tile."""
+    n1, n2 = 64, 150
+    d1 = _descs(rng, n1)
+    d2 = _descs(rng, n2)
+    d2[40:72] = d1[:32]
+    want = np.asarray(match_sharded(jnp.asarray(d1), jnp.asarray(d2),
+                                    mesh, mutual_best=mutual))
+    got = np.asarray(match_sharded(jnp.asarray(d1), jnp.asarray(d2),
+                                   mesh, mutual_best=mutual, n2_tile=64))
+    np.testing.assert_array_equal(got, want)
+    assert (got[:32] == 40 + np.arange(32)).mean() > 0.9
+
+
+def test_match_sharded_tiled_guided(mesh, rng):
+    """Tiled + guided: geometric gates apply per tile, padded columns
+    stay out of the second-best values."""
+    n1, n2 = 48, 90
+    d1 = _descs(rng, n1)
+    d2 = _descs(rng, n2)
+    d2[:48] = d1
+    loc1 = rng.rand(n1, 2).astype(np.float32) * 100
+    loc2 = np.concatenate([loc1, rng.rand(n2 - n1, 2).astype(np.float32)
+                           * 100 + 500])
+    H = np.eye(3, dtype=np.float32)
+    want = np.asarray(match_sharded(
+        jnp.asarray(d1), jnp.asarray(d2), mesh, loc1=loc1, loc2=loc2,
+        H=H, hdistmax=8.0))
+    got = np.asarray(match_sharded(
+        jnp.asarray(d1), jnp.asarray(d2), mesh, loc1=loc1, loc2=loc2,
+        H=H, hdistmax=8.0, n2_tile=32))
+    np.testing.assert_array_equal(got, want)
+    assert (got[:48] == np.arange(48)).mean() > 0.9
