@@ -17,7 +17,9 @@ import numpy as np
 REFERENCE_HZ = 14.3  # doc/statistics.pdf Exp #1, new packed, ~3082 features
 BATCH = 16  # batched pipeline is flat in B; throughput plateaus ~B>=8
 WARMUP = 2
-ITERS = 8
+ITERS = 32  # 8 iters measured only ~0.2 s; tunneled-dispatch jitter was
+            # +-5% run to run (617 vs 588 on identical code), so measure
+            # ~0.8 s of sustained throughput instead
 INIT_TIMEOUT_S = 900  # tunneled-TPU init can hang indefinitely when the
                       # axon tunnel is down; fail fast with a clear message
                       # instead of eating the caller's whole timeout

@@ -32,6 +32,7 @@ from hessgpu_tpu.sfm.synthetic import write_tum_sequence
 N_FRAMES = int(os.environ.get("KF_FRAMES", "40"))
 PASSES = int(os.environ.get("KF_PASSES", "1"))
 THRESHOLD = float(os.environ.get("KF_T", "0"))  # 0 = library default
+MESH = int(os.environ.get("KF_MESH", "0"))      # >0: sharded periodic BAs
 
 
 def main():
@@ -58,10 +59,14 @@ def main():
             pickle.dump(feats, f)
 
     gt = seq["gt_centers"]
+    mesh = None
+    if MESH:
+        from hessgpu_tpu.parallel.distributed import device_mesh
+        mesh = device_mesh("obs", MESH)
     sweep = [float(a) for a in sys.argv[1:]] or [0.0, 1.0, 1.5, 2.5, 4.0]
     for par in sweep:
         t0 = time.time()
-        rec = reconstruct_sequence(feats, meta["K"],
+        rec = reconstruct_sequence(feats, meta["K"], mesh=mesh,
                                    keyframe_parallax_deg=par)
         if rec is None:
             print(f"par={par}: FAILED")
