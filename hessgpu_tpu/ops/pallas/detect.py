@@ -347,10 +347,31 @@ def detect_octave_pallas(
             # a indexed like resp; value at (output row j + di, col cc + dj)
             return a[1 + di: 1 + di + BRD, 1 + dj: 1 + dj + W]
 
+        # separable 3x3 pooling partials, computed ONCE per plane and
+        # shared by the adjacent key levels' 3x3x3 tests (the naive form
+        # re-reduced 18 cross-plane neighbours per level: ~74 more
+        # (BRD, W) VPU ops per octave program). ctmax[i, j] = column
+        # triple max of row i; full3 = 3-row max of ctmax = the plane's
+        # whole 3x3 max at each output cell.
+        ctmax, ctmin, full3max, full3min = {}, {}, {}, {}
+        for pi in set(kl + d - p_lo for kl in key_levels for d in (-1, 0, 1)):
+            a = resps[pi]    # lane-padded width; cols [0, W+2) are real
+            ct_max = jnp.maximum(jnp.maximum(a[:, :W], a[:, 1:W + 1]),
+                                 a[:, 2:W + 2])     # (BRH-2, W)
+            ct_min = jnp.minimum(jnp.minimum(a[:, :W], a[:, 1:W + 1]),
+                                 a[:, 2:W + 2])
+            ctmax[pi] = ct_max
+            ctmin[pi] = ct_min
+            full3max[pi] = jnp.maximum(
+                jnp.maximum(ct_max[:-2, :], ct_max[1:-1, :]), ct_max[2:, :])
+            full3min[pi] = jnp.minimum(
+                jnp.minimum(ct_min[:-2, :], ct_min[1:-1, :]), ct_min[2:, :])
+
         for li, kl in enumerate(key_levels):
             prv = resps[kl - 1 - p_lo]
             cur = resps[kl - p_lo]
             nxt = resps[kl + 1 - p_lo]
+            pc = kl - p_lo
 
             v = crop(cur, 0, 0)
             left = crop(cur, 0, -1)
@@ -362,17 +383,18 @@ def detect_octave_pallas(
             bl = crop(cur, 1, -1)
             br = crop(cur, 1, 1)
 
-            rest_max = jnp.maximum(up, down)
-            rest_min = jnp.minimum(up, down)
-            for a in (tl, tr, bl, br):
-                rest_max = jnp.maximum(rest_max, a)
-                rest_min = jnp.minimum(rest_min, a)
-            for other in (prv, nxt):
-                for di in (-1, 0, 1):
-                    for dj in (-1, 0, 1):
-                        a = crop(other, di, dj)
-                        rest_max = jnp.maximum(rest_max, a)
-                        rest_min = jnp.minimum(rest_min, a)
+            # in-plane rest = the 6 cells above/below the center row
+            # = the column-triple pools of the rows directly above/below
+            topbot_max = jnp.maximum(ctmax[pc][:-2, :][:BRD],
+                                     ctmax[pc][2:, :][:BRD])
+            topbot_min = jnp.minimum(ctmin[pc][:-2, :][:BRD],
+                                     ctmin[pc][2:, :][:BRD])
+            rest_max = jnp.maximum(topbot_max,
+                                   jnp.maximum(full3max[pc - 1][:BRD],
+                                               full3max[pc + 1][:BRD]))
+            rest_min = jnp.minimum(topbot_min,
+                                   jnp.minimum(full3min[pc - 1][:BRD],
+                                               full3min[pc + 1][:BRD]))
 
             lr_max = jnp.maximum(left, right)
             lr_min = jnp.minimum(left, right)

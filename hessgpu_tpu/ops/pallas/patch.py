@@ -869,4 +869,3 @@ def orientation_pallas(
     thetas = thetas[:G0]
     ovalid = ovalid[:G0]
     return thetas, ovalid.astype(jnp.bool_) & valid[:G0, None]
-

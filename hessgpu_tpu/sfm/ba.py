@@ -19,7 +19,7 @@ x_cam = R_c @ X + t_c; projection is pinhole with per-camera (f, cx, cy).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,32 +76,76 @@ def so3_exp(w):
     return eye + a[..., None, None] * K + b[..., None, None] * _mm(K, K)
 
 
-def _project(state: BAState, delta_pose, delta_pt, prob: BAProblem):
+_PT_BLK = 128  # low-index width of the two-level point selector
+
+
+def _selectors(prob: BAProblem, C: int, P: int):
+    """One-hot selector matrices for the MXU gather formulation.
+
+    XLA executes the per-observation gathers R[cam_idx]/X[pt_idx] (and
+    their scatter-add transposes inside vjp) on the TPU scalar core at
+    ~ns/element - measured ~4 ms per CG iteration on the bench_ba
+    problem for ~10 MFLOP of real work, making BA SLOWER on a v5e than
+    on the host CPU (8.1 vs 13.3 LM it/s). Selecting rows with one-hot
+    matmuls instead puts both directions on the MXU: selection sums
+    touch exactly one element each (bit-exact vs the gather); only the
+    transposed accumulation order differs from segment_sum (~1-ulp).
+
+    The camera side is a plain (O, C) one-hot. The point side would be
+    (O, P) - 536 MB at map scale - so it splits two-level: a (O, P/K)
+    block selector matmul picks each observation's K-row block, a
+    (O, K) within-block contraction picks the row.
+    """
+    Ec = jax.nn.one_hot(prob.cam_idx, C, dtype=jnp.float32)
+    K = min(_PT_BLK, P)
+    nblk = -(-P // K)
+    Ehi = jax.nn.one_hot(prob.pt_idx // K, nblk, dtype=jnp.float32)
+    Elo = jax.nn.one_hot(prob.pt_idx % K, K, dtype=jnp.float32)
+    return Ec, Ehi, Elo, K, nblk
+
+
+def _project(state: BAState, delta_pose, delta_pt, prob: BAProblem,
+             dense: bool = False):
     """Residuals with tangent-space increments applied.
 
     delta_pose: (C, 6) [axis-angle | dt]; delta_pt: (P, 3).
+    dense: route the per-observation selections through one-hot matmuls
+    (see _selectors) - the TPU formulation of the gather/scatter pair.
     """
     dR = so3_exp(delta_pose[:, :3])
     R = _mm(dR, state.R)
     t = state.t + delta_pose[:, 3:]
     X = state.X + delta_pt
 
-    Rc = R[prob.cam_idx]
-    tc = t[prob.cam_idx]
-    Xp = X[prob.pt_idx]
+    if dense:
+        C = R.shape[0]
+        P = X.shape[0]
+        Ec, Ehi, Elo, K, nblk = _selectors(prob, C, P)
+        sel_c = lambda a: jnp.matmul(Ec, a.reshape(C, -1), precision=_HI)
+        Rc = sel_c(R).reshape(-1, 3, 3)
+        tc = sel_c(t)
+        intr = sel_c(state.intr)
+        Xpad = jnp.pad(X, ((0, nblk * K - P), (0, 0)))
+        blk = jnp.matmul(Ehi, Xpad.reshape(nblk, K * 3),
+                         precision=_HI).reshape(-1, K, 3)
+        Xp = jnp.einsum("ok,okc->oc", Elo, blk, precision=_HI)
+    else:
+        Rc = R[prob.cam_idx]
+        tc = t[prob.cam_idx]
+        intr = state.intr[prob.cam_idx]
+        Xp = X[prob.pt_idx]
     xc = jnp.einsum("oij,oj->oi", Rc, Xp, precision=_HI) + tc
     z = jnp.maximum(xc[:, 2], 1e-6)
-    intr = state.intr[prob.cam_idx]
     u = intr[:, 0] * xc[:, 0] / z + intr[:, 1]
     v = intr[:, 0] * xc[:, 1] / z + intr[:, 2]
     res = jnp.stack([u, v], 1) - prob.uv
     return res * prob.weight[:, None]
 
 
-def _residual_fn(state, prob):
+def _residual_fn(state, prob, dense: bool = False):
     def fn(params):
         dp, dx = params
-        return _project(state, dp, dx, prob)
+        return _project(state, dp, dx, prob, dense=dense)
     return fn
 
 
@@ -164,12 +208,19 @@ def huber_weights(state: BAState, prob: BAProblem, delta: float):
     return robust_weights(state, prob, delta, loss="huber")
 
 
-@functools.partial(jax.jit, static_argnames=("cg_iters", "fix_first_cam"))
+@functools.partial(jax.jit,
+                   static_argnames=("cg_iters", "fix_first_cam", "dense"))
 def lm_step(state: BAState, prob: BAProblem, lam, cg_iters: int = 30,
-            fix_first_cam: bool = True):
+            fix_first_cam: bool = True, dense: Optional[bool] = None):
     """One Levenberg-Marquardt step. Returns (new_state, new_lam, cost,
-    new_cost, accepted)."""
-    fn = _residual_fn(state, prob)
+    new_cost, accepted).
+
+    dense: one-hot-matmul observation selection for the PCG hot loop
+    (see _selectors); default on for accelerators, off on CPU (native
+    gathers win there)."""
+    if dense is None:
+        dense = jax.default_backend() != "cpu"
+    fn = _residual_fn(state, prob, dense=dense)
     zero = (jnp.zeros((state.R.shape[0], 6)), jnp.zeros_like(state.X))
 
     # gauge fixing: camera 0 stays put by projecting it out of the Krylov

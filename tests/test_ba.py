@@ -144,3 +144,41 @@ def test_prune_outliers_counts(rng):
     prob2, n = prune_outliers(gt, prob, threshold=1.0)
     assert n == 0
     assert np.all(np.asarray(prob2.weight) == np.asarray(prob.weight))
+
+
+def test_dense_selection_matches_gather():
+    """The one-hot-matmul observation selection (TPU formulation) equals
+    the gather formulation: bit-exact residuals, same LM trajectory to
+    float-accumulation tolerance."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hessgpu_tpu.sfm.ba import (BAProblem, BAState, _residual_fn,
+                                    lm_step, reprojection_rmse, so3_exp)
+
+    rng = np.random.default_rng(3)
+    C, P, O = 5, 300, 900
+    X = jnp.asarray(rng.uniform(-2, 2, (P, 3)) + [[0, 0, 6.0]], jnp.float32)
+    R = so3_exp(jnp.asarray(rng.normal(0, 0.1, (C, 3)), jnp.float32))
+    t = jnp.asarray(rng.normal(0, 0.2, (C, 3)), jnp.float32)
+    intr = jnp.tile(jnp.asarray([[200.0, 64.0, 48.0]], jnp.float32), (C, 1))
+    state = BAState(R=R, t=t, X=X, intr=intr)
+    prob = BAProblem(
+        cam_idx=jnp.asarray(rng.integers(0, C, O), jnp.int32),
+        pt_idx=jnp.asarray(rng.integers(0, P, O), jnp.int32),
+        uv=jnp.asarray(rng.uniform(0, 128, (O, 2)), jnp.float32),
+        weight=jnp.ones((O,), jnp.float32))
+
+    zero = (jnp.zeros((C, 6)), jnp.zeros_like(X))
+    r0 = _residual_fn(state, prob, dense=False)(zero)
+    r1 = _residual_fn(state, prob, dense=True)(zero)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+    lam = jnp.asarray(1e-3)
+    sA = sB = state
+    lamA = lamB = lam
+    for _ in range(4):
+        sA, lamA, *_ = lm_step(sA, prob, lamA, cg_iters=10, dense=False)
+        sB, lamB, *_ = lm_step(sB, prob, lamB, cg_iters=10, dense=True)
+    assert abs(reprojection_rmse(sA, prob)
+               - reprojection_rmse(sB, prob)) < 1e-4
