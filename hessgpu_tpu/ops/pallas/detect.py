@@ -251,13 +251,14 @@ def detect_octave_pallas(
             return one(gauss_oct[0])
         return jax.vmap(one)(gauss_oct)
 
-    # smaller row blocks than the per-level kernel: 8 outputs x NK levels
-    # stream per program, and double-buffered output blocks must fit VMEM.
-    # The Mosaic vmem stack holds ~50 live (BRD, W) temporaries for the
-    # unrolled key-level loop (observed 26.9 MB at BRD=32, W=2048), so
-    # wide octaves shrink the row block to stay under the 16 MB scoped
-    # limit; benchmark shapes (W <= 1024) keep BRD=32.
-    BRD = 32
+    # row block: 8 outputs x NK levels stream per program and the
+    # double-buffered output blocks must fit VMEM. The Mosaic vmem stack
+    # holds ~50 live (BRD, W) temporaries for the unrolled key-level
+    # loop (observed 26.9 MB at BRD=32, W=2048), so the block size
+    # adapts: as large as fits under the 16 MB scoped limit (fewer
+    # programs = less fixed DMA-issue/sequencing cost and a smaller
+    # halo-recompute fraction), halving for wide octaves.
+    BRD = 64
     while BRD > 8 and 55 * BRD * W * 4 > 13 * 1024 * 1024:
         BRD //= 2
     nblk = pl.cdiv(H, BRD)

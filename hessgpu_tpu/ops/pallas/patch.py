@@ -389,8 +389,15 @@ def descriptor_pallas(
     window_factor: float = 3.0,
     mxu: bool = False,
     interpret: bool = False,
+    flat: bool = True,
 ) -> jnp.ndarray:
     """Raw (unnormalized) descriptors for the global keypoint table.
+
+    flat=False (mxu mode only) returns the kernel's native (G, 16, 8)
+    cell/bin layout - the (G, 128) reshape is a real relayout copy on
+    TPU (~0.27 ms per 16k slots), and ops.descriptor.
+    finalize_descriptors consumes the 3-D form directly so the copy
+    fuses into the normalize fusion instead.
 
     stack: packed pyramid canvas (build_padded_stack).
     Returns (G, 128) float32 (caller applies half-SIFT fold + normalize).
@@ -562,6 +569,8 @@ def descriptor_pallas(
       valid.astype(jnp.int32), stack.level_h, stack.level_w,
       stack.plane, stack.row_off, stack.col_off, stack.grad, stack.rot)
     if mxu:
+        if not flat:
+            return out[:G0]         # (G0, 16, 8), row-major == tap order
         out = out.reshape(G, 128)   # (cell, bin) row-major == tap order
     return out[:G0]
 

@@ -622,20 +622,16 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     if cfg.compute_descriptors:
       with jax.named_scope("COMPUTE_DESCRIPTORS"):
         if use_pallas:
-            from .ops.descriptor import normalize_descriptors
+            from .ops.descriptor import finalize_descriptors
             desc = descriptor_pallas(
                 table.x, table.y, table.sigma, table.theta, table.valid,
                 table.level_id, pstack,
                 wsize=dwin, pad=pad,
                 window_factor=cfg.descriptor_window_factor,
-                mxu=True,
+                mxu=True, flat=False,
                 interpret=interpret)
-            desc = jnp.where(table.valid[:, None], desc, 0.0)
-            if cfg.half_sift:
-                d = desc.reshape(-1, 16, 8)
-                desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
-            if cfg.normalized_sift:
-                desc = normalize_descriptors(desc, table.valid)
+            desc = finalize_descriptors(desc, table.valid, cfg.half_sift,
+                                        cfg.normalized_sift)
         else:
             desc = compute_descriptors_flat(
                 table.x, table.y, table.sigma, table.theta, table.valid,
@@ -898,23 +894,19 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
 
     if cfg.compute_descriptors:
         with jax.named_scope("COMPUTE_DESCRIPTORS"):
-            from .ops.descriptor import normalize_descriptors
+            from .ops.descriptor import finalize_descriptors
             fvalid = flat(table.valid)
             desc = chunked(
                 lambda x, y, sg, th, vl, lid: descriptor_pallas(
                     x, y, sg, th, vl, lid, pstack,
                     wsize=dwin, pad=pad,
                     window_factor=cfg.descriptor_window_factor,
-                    mxu=True,
+                    mxu=True, flat=False,
                     interpret=interpret),
                 (flat(table.x), flat(table.y), flat(table.sigma),
                  flat(table.theta), fvalid, flat(offset_lid(table))), 1)
-            desc = jnp.where(fvalid[:, None], desc, 0.0)
-            if cfg.half_sift:
-                d = desc.reshape(-1, 16, 8)
-                desc = (d[..., :4] + d[..., 4:]).reshape(-1, 64)
-            if cfg.normalized_sift:
-                desc = normalize_descriptors(desc, fvalid)
+            desc = finalize_descriptors(desc, fvalid, cfg.half_sift,
+                                        cfg.normalized_sift)
             desc = desc.reshape((B, -1) + desc.shape[1:])
     else:
         desc = jnp.zeros(table.x.shape + (cfg.descriptor_dim,), jnp.float32)
