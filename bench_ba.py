@@ -92,13 +92,15 @@ def main():
     s = state
     for _ in range(WARMUP):
         s, lam, c0, c1, acc = step(s, lam)
-    jax.block_until_ready(s.X)
+    _ = float(jnp.sum(s.X))
 
     s, lam = state, jnp.asarray(1e-3)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         s, lam, c0, c1, acc = step(s, lam)
-    jax.block_until_ready(s.X)
+    # value fetch = the only honest sync through the tunneled runtime
+    # (block_until_ready returns before queued executions drain)
+    _ = float(jnp.sum(s.X))
     dt = time.perf_counter() - t0
 
     rmse = float(reprojection_rmse(s, prob))

@@ -44,7 +44,7 @@ def _time_shape(img_gray: np.ndarray, cfg):
     t0 = time.perf_counter()
     for _ in range(ITERS):
         table, _aux = run_pipeline_jit(g, plan, _CfgKey(cfg))
-    jax.block_until_ready(table.x)
+    _ = int(jnp.sum(table.valid))   # fetch = honest sync (tunneled runtime)
     dt = (time.perf_counter() - t0) / ITERS
     return 1.0 / dt, n
 

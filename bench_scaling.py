@@ -103,7 +103,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(ITERS):
             table = fn(batch)
-        jax.block_until_ready(table.valid)
+        _ = int(jnp.sum(table.valid))   # fetch = honest sync
         results[n] = b * ITERS / (time.perf_counter() - t0)
 
     base = results[sizes[0]]

@@ -41,7 +41,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(it):
         t = sharded_detect_and_describe(jnp.asarray(g), cfg, mesh)
-    jax.block_until_ready(t.x)
+    _ = int(jnp.sum(t.valid))   # fetch = honest sync
     ms_sharded = (time.perf_counter() - t0) / it * 1e3
 
     plan = make_plan(*g.shape, cfg)
@@ -50,7 +50,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(it):
         tb, _ = run_pipeline_jit(jnp.asarray(g), plan, _CfgKey(cfg))
-    jax.block_until_ready(tb.x)
+    _ = int(jnp.sum(tb.valid))   # fetch = honest sync
     ms_pipeline = (time.perf_counter() - t0) / it * 1e3
 
     print(json.dumps({

@@ -1,5 +1,12 @@
-"""One-off: fps at B=16 vs B=32 on the current code (dispatch-gap
-amortization check)."""
+"""DoG-vs-Hessian speed at MATCHED feature count (VERDICT r3 task 3).
+
+The personalities share every kernel; at default thresholds DoG finds
+3.2x more features (728 vs 230 on 640-1.jpg), and the per-keypoint
+stages' cost tracks the VALID count (invalid slots are predicated off),
+so dog_fps < hessian_fps at defaults is workload, not structure. This
+experiment pins that: DoG at threshold 0.028 yields ~241 features and
+should run within a few percent of Hessian's fps.
+"""
 import sys
 import time
 
@@ -8,7 +15,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def run(B):
+def run(detector, threshold=None):
     import jax
     import jax.numpy as jnp
 
@@ -20,23 +27,28 @@ def run(B):
 
     img = load_image("/root/reference/data/640-1.jpg")
     g = np.asarray(rgb_to_gray(to_float(jnp.asarray(img))), np.float32)
-    cfg = SiftConfig()
+    cfg = SiftConfig(detector=detector)
+    if threshold:
+        cfg.threshold = threshold
     plan = make_plan(*g.shape, cfg)
     ckey = _CfgKey(cfg)
+    B = 16
     batch = jax.device_put(jnp.asarray(np.stack([g] * B)), jax.devices()[0])
     for _ in range(2):
         t = _batched_pipeline(batch, plan, ckey)
         jax.block_until_ready(t.valid)
-    iters = max(8, 512 // B)
+    iters = 32
     t0 = time.perf_counter()
     for _ in range(iters):
         t = _batched_pipeline(batch, plan, ckey)
     counts = np.asarray(t.count())   # fetch = honest sync
     dt = time.perf_counter() - t0
-    print(f"B={B}: {B * iters / dt:.2f} fps ({dt / iters * 1e3:.2f} ms/call)",
-          flush=True)
+    n = int(np.asarray(t.count()).mean())
+    print(f"{detector} t={threshold or 'default'}: "
+          f"{B * iters / dt:.2f} fps, {n} features/frame", flush=True)
 
 
 if __name__ == "__main__":
-    for B in (16, 32, 64):
-        run(B)
+    run("hessian")
+    run("dog")
+    run("dog", 0.028)
