@@ -23,28 +23,23 @@ _LUMA = (0.299, 0.587, 0.114)
 def downsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:
     """Decimate (H, W) by 2**log_scale, keeping pixels at multiples of the step.
 
-    Implemented as a strided 1x1 convolution: XLA lowers x[::s, ::s] to a
-    gather on TPU (~0.8 ms for 640x480 - it dominates pyramid build),
-    while a strided conv is a native windowed op (~us).
+    On TPU every XLA lowering of this is relayout-bound (device-profiled
+    on a (16, 480, 640) f32 batch: strided 1x1 conv 1.03 ms, [::s, ::s]
+    strided slice 0.48 ms - vs ~0.03 ms of raw bandwidth), so the f32
+    by-2 case runs a small Pallas kernel that decimates with exact 0/1
+    selection dots on the MXU (ops/pallas/conv.downsample2_pallas);
+    results are bit-identical to the slice.
     """
     s = 1 << log_scale
     if not jnp.issubdtype(x.dtype, jnp.floating):
         return x[..., ::s, ::s]
-    h, w = x.shape[-2], x.shape[-1]
-    lead = x.shape[:-2]
-    b = 1
-    for d in lead:
-        b *= d
-    xr = x.reshape(b, 1, h, w)
-    # HIGHEST precision: the default TPU conv path rounds through bf16,
-    # which perturbed every downsampled octave by ~1e-3 and shifted ~3%
-    # of detections vs the CPU/f32 pipeline (measured on 640-1.jpg)
-    out = jax.lax.conv_general_dilated(
-        xr[..., : (h - 1) // s * s + 1, : (w - 1) // s * s + 1],
-        jnp.ones((1, 1, 1, 1), x.dtype),
-        window_strides=(s, s), padding="VALID",
-        precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(lead + out.shape[-2:])
+    if jax.default_backend() != "cpu" and x.dtype == jnp.float32 \
+            and 2 <= x.ndim <= 3:
+        from .pallas.conv import downsample2_pallas
+        for _ in range(log_scale):
+            x = downsample2_pallas(x)
+        return x
+    return x[..., ::s, ::s]
 
 
 def upsample(x: jnp.ndarray, log_scale: int = 1) -> jnp.ndarray:
