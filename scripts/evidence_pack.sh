@@ -17,7 +17,7 @@ for job in "$@"; do
                      > docs/evidence/bench.txt 2>&1 ;;
         match)   timeout 1800 python bench_match.py \
                      > docs/evidence/bench_match.txt 2>&1 ;;
-        spatial) timeout 1800 python scripts/bench_spatial_single.py \
+        spatial) timeout 3500 python scripts/bench_spatial_single.py \
                      > docs/evidence/bench_spatial.txt 2>&1 ;;
         dog)     timeout 1800 python bench.py \
                      > docs/evidence/bench_dog.txt 2>&1 ;;
