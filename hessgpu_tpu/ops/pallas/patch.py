@@ -412,9 +412,13 @@ def descriptor_pallas(
     """
     G0 = x.shape[0]
     BK = 8   # keypoints per group (one window scratch buffer per slot)
-    NG = 4   # groups per program; a group whose slots are ALL invalid is
+    NG = 16  # groups per program; a group whose slots are ALL invalid is
     # skipped with one predicate, so the program-sequencing overhead of
-    # the (large) invalid tail of the front-packed table amortizes 4x
+    # the (large) invalid tail of the front-packed table amortizes 16x.
+    # Each grid step - even a fully skipped one - still pays sequencing
+    # plus its output-block pipeline DMA, so fewer/larger programs win
+    # when ~95% of the static table is invalid padding (B*G slots vs
+    # a few hundred real features per frame).
     BKP = BK * NG
     padk = (-G0) % BKP
     if padk:
@@ -601,7 +605,9 @@ def orientation_pallas(
     """
     G0 = x.shape[0]
     BK = 8   # keypoints per group (one window scratch buffer per slot)
-    NG = 4   # groups per program; all-invalid groups skip on one predicate
+    NG = 16  # groups per program; all-invalid groups skip on one predicate
+    # (16 groups/program: see descriptor_pallas - fewer grid steps means
+    # less fixed sequencing + output-block DMA for the invalid tail)
     BKP = BK * NG
     padk = (-G0) % BKP
     if padk:
