@@ -26,9 +26,31 @@ from jax.experimental.pallas import tpu as pltpu
 _BR = 128  # output rows per program (multiple of 8)
 
 
+def detect_geometry(H: int, W: int):
+    """The detect kernel's row blocking + padded input geometry for an
+    (H, W) octave - shared with the conv chain so it can emit the
+    detect kernel's edge-padded input layout directly (detect_pad mode
+    below). Must stay in lockstep with ops/pallas/detect.py.
+
+    Returns (BRD, nblk, BRH, Wp, rows_needed): the detect kernel DMAs
+    row blocks [blk*BRD, blk*BRD + BRH) and columns [0, Wp) of a buffer
+    whose row t / col c hold the edge-clamped image at (t - 2, c - 2);
+    rows_needed = (nblk-1)*BRD + BRH is the last program's reach.
+    """
+    BRD = 64
+    while BRD > 8 and 55 * BRD * W * 4 > 13 * 1024 * 1024:
+        BRD //= 2
+    nblk = pl.cdiv(H, BRD)
+    BRH = BRD + 8
+    Wc = (W + 127) // 128 * 128
+    Wp = (max(W, Wc) + 2 + 2 + 127) // 128 * 128
+    return BRD, nblk, BRH, Wp, (nblk - 1) * BRD + BRH
+
+
 def octave_chain_pallas(base: jnp.ndarray,
                         taps_list: Sequence[Sequence[float]],
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        detect_pad: bool = False):
     """Whole-octave Gaussian chain in ONE kernel: level l+1 = blur(level l).
 
     base: (H, W) or (B, H, W) float32 already blurred to level 0.
@@ -47,6 +69,19 @@ def octave_chain_pallas(base: jnp.ndarray,
     its canvas (statically for columns, via masked row-reductions for the
     dynamic row edges), so results equal the chained blur_pallas calls
     bit-for-bit.
+
+    detect_pad=True: instead of the tight (B, L, H, W) stack, emit the
+    DETECT kernel's edge-padded input layout directly - row t / col c of
+    each plane hold the edge-clamped level image at (t - 2, c - 2),
+    shaped (B, L, hp + 8, Wp) per detect_geometry. This deletes the
+    jnp.pad(mode="edge") HBM round-trip between the two kernels (~0.9
+    ms/batch at B=16) and the hp != h crop copy: the conv canvas already
+    maintains clamp-to-edge borders per level, so the padded block is
+    just a wider slice of it, emitted AFTER the level's border re-clamp.
+    Adjacent programs overlap by 8 output rows with bit-identical values
+    (both compute the same tap sums from the same input rows). Returns
+    (out, True) on the padded layout, or (out, False) when this shape
+    can't take the kernel path (caller falls back to the pad op).
     """
     taps_list = [tuple(float(t) for t in tp) if tp else () for tp in taps_list]
     radii = [len(tp) // 2 for tp in taps_list]
@@ -57,22 +92,50 @@ def octave_chain_pallas(base: jnp.ndarray,
         base = base[None]
     B, h, w = base.shape
 
+    def _fallback_unpadded():
+        if h < 32 or w < 32 or R == 0 or interpret:
+            from ..gaussian import conv1d_clamped
+            levels = [base]
+            for tp in taps_list:
+                x = levels[-1]
+                if tp:
+                    x = conv1d_clamped(x, tp, axis=2)
+                    x = conv1d_clamped(x, tp, axis=1)
+                levels.append(x)
+            out = jnp.stack(levels, axis=1)
+        else:
+            x = base
+            levels = [x]
+            for tp in taps_list:
+                if tp:
+                    x = blur_pallas(x, tp)
+                levels.append(x)
+            out = jnp.stack(levels, axis=1)
+        out = out if batched else out[0]
+        return (out, False) if detect_pad else out
+
     if h < 32 or w < 32 or R == 0:
-        from ..gaussian import conv1d_clamped
-        levels = [base]
-        for tp in taps_list:
-            x = levels[-1]
-            if tp:
-                x = conv1d_clamped(x, tp, axis=2)
-                x = conv1d_clamped(x, tp, axis=1)
-            levels.append(x)
-        out = jnp.stack(levels, axis=1)
-        return out if batched else out[0]
+        return _fallback_unpadded()
 
     # output width padded to the lane tiling: VMEM->HBM DMA slices must be
     # 128-aligned along the last dim (cropped after the call when wo > w)
     wo = (w + 127) // 128 * 128
-    wp = (wo + 2 * R + 127) // 128 * 128
+    if detect_pad:
+        # emit geometry: rows [row0, row0 + BR + 8) (8 overlap), cols
+        # [0, Wp) of the detect-padded layout; the canvas needs 2 extra
+        # border rows/cols on each side plus the 8-row overlap, so the
+        # halo budget grows from 2R to 2*(R+4) + 2
+        _, _, _, Wp_d, rows_needed = detect_geometry(h, w)
+        R2 = R + 4
+        emit_rows = None  # per-block rows, set to BR + 8 below
+        wemit = Wp_d
+        halo = (2 * R2 + 2 + 7) // 8 * 8
+        wp = (wemit + 2 + 2 * R2 + 127) // 128 * 128
+    else:
+        R2 = R
+        wemit = wo
+        halo = (2 * R + 7) // 8 * 8
+        wp = (wo + 2 * R + 127) // 128 * 128
 
     # block rows: tile h exactly when h is a multiple of 8 (nblk * BR ==
     # hp == h), so the post-kernel crop is a no-op for the common shapes.
@@ -83,27 +146,39 @@ def octave_chain_pallas(base: jnp.ndarray,
     # into tens of minutes) - shrink the block until the estimated stack
     # fits, else fall back to the per-level kernel (still Pallas, one HBM
     # round-trip per level instead of one total).
-    halo = (2 * R + 7) // 8 * 8
     for br0 in (128, 64, 32, 16):
-        est = (12 * (br0 + halo) * wp + len(taps_list) * br0 * wo) * 4
+        est = (12 * (br0 + halo) * wp
+               + len(taps_list) * (br0 + 8) * wemit) * 4
         if est <= 14 * 1024 * 1024:
             break
     else:
-        x = base
-        levels = [x]
-        for tp in taps_list:
-            if tp:
-                x = blur_pallas(x, tp)
-            levels.append(x)
-        out = jnp.stack(levels, axis=1)
-        return out if batched else out[0]
+        return _fallback_unpadded()
     nblk = pl.cdiv(h, br0)
-    BR = (pl.cdiv(h, nblk) + 7) // 8 * 8
+    if detect_pad:
+        # full br0-multiple tiling (not the tight re-fit below): the
+        # output must cover the detect grid's reach, and
+        # ceil_{br0}(h) + 8 >= ceil_{BRD}(h) + 8 = rows_needed whenever
+        # br0 >= BRD (the adaptive loops keep br0 >= BRD for every
+        # shape both kernels accept; the runtime gate catches the rest)
+        BR = br0
+    else:
+        # tile h exactly when possible so the post-kernel crop is a no-op
+        BR = (pl.cdiv(h, nblk) + 7) // 8 * 8
     hp = nblk * BR
     brh = BR + halo
 
-    bot = hp + brh - (h + R)
-    xp = jnp.pad(base, ((0, 0), (R, max(bot, R)), (R, wp - w - R)),
+    if detect_pad:
+        emit_rows = BR + 8
+        if hp + 8 < rows_needed:
+            # the detect grid reaches past this blocking's coverage
+            # (possible when the adaptive row blocks diverge at extreme
+            # widths) - let the caller pad the old way
+            return _fallback_unpadded()
+    else:
+        emit_rows = BR
+
+    bot = hp + brh - (h + R2)
+    xp = jnp.pad(base, ((0, 0), (R2, max(bot, R2)), (R2, wp - w - R2)),
                  mode="edge")
 
     def kernel(xp_hbm, out_hbm, buf, acc, sem_in, sem_out):
@@ -124,29 +199,16 @@ def octave_chain_pallas(base: jnp.ndarray,
             acc[l, :, :] = block
             cpo = pltpu.make_async_copy(
                 acc.at[l],
-                out_hbm.at[b, l, pl.ds(row0, BR), pl.ds(0, wo)],
+                out_hbm.at[b, l, pl.ds(row0, emit_rows), pl.ds(0, wemit)],
                 sem_out.at[l])
             cpo.start()
             return cpo
 
-        # canvas invariant: cur[i, j] = level image at
-        # (row0 - R + cum + i, j - R + cum) where cum = sum of used radii
-        copies = []
-        cur = buf[:, :]
-        cum = 0
-        for l, tp in enumerate(taps_list):
-            # emit level l (cols w..wo are pad, cropped by the caller)
-            coff = R - cum
-            copies.append(emit(l, cur[coff:coff + BR, coff:coff + wo]))
-
-            r = len(tp) // 2
-            if r == 0:
-                continue
-
+        def clamp(cur, coff):
             # re-clamp the canvas borders to this level's own edge values
             # (per-level clamp-to-edge, ProgramCU.cu:117-231). Columns:
-            # static offsets. Rows: the image edge lands at a block-dependent
-            # canvas row, so extract it with a masked reduction.
+            # static offsets. Rows: the image edge lands at a block-
+            # dependent canvas row, so extract it with a masked reduction.
             rows_l, cols_l = cur.shape
             colio = jax.lax.broadcasted_iota(jnp.int32, (rows_l, cols_l), 1)
             rowio = jax.lax.broadcasted_iota(jnp.int32, (rows_l, cols_l), 0)
@@ -161,7 +223,39 @@ def octave_chain_pallas(base: jnp.ndarray,
             edge_bot = jnp.sum(jnp.where(rowio == bot_idx, cur, 0.0),
                                axis=0, keepdims=True)
             cur = jnp.where(rowio > bot_idx, edge_bot, cur)
+            return cur
 
+        def emit_slice(l, cur, coff):
+            # unpadded: the (BR, wo) data block; detect_pad: the
+            # (BR + 8, Wp) window whose [0, 0] is image (row0 - 2, -2) -
+            # border values come from the canvas's re-clamped edges, so
+            # they equal jnp.pad(..., mode="edge") bit-for-bit
+            if detect_pad:
+                return emit(l, cur[coff - 2:coff - 2 + emit_rows,
+                                   coff - 2:coff - 2 + wemit])
+            return emit(l, cur[coff:coff + BR, coff:coff + wo])
+
+        # canvas invariant: cur[i, j] = level image at
+        # (row0 - R2 + cum + i, j - R2 + cum) where cum = sum of used radii
+        copies = []
+        cur = buf[:, :]
+        cum = 0
+        for l, tp in enumerate(taps_list):
+            coff = R2 - cum
+            r = len(tp) // 2
+            # the blur below needs clamped borders anyway; in detect_pad
+            # mode the emit's +-2 border rows/cols need them too (level 0
+            # is pre-clamped by the xp edge-pad)
+            if l > 0 and (r > 0 or detect_pad):
+                cur = clamp(cur, coff)
+            copies.append(emit_slice(l, cur, coff))
+
+            if r == 0:
+                continue
+            rows_l, cols_l = cur.shape
+            if l == 0:
+                cur = clamp(cur, coff)  # no-op values-wise; keeps the
+                # exact op order of the pre-detect_pad kernel
             hres = tp[0] * cur[:, 0:cols_l - 2 * r]
             for k in range(1, len(tp)):
                 hres = hres + tp[k] * cur[:, k:k + cols_l - 2 * r]
@@ -171,15 +265,18 @@ def octave_chain_pallas(base: jnp.ndarray,
             cur = nxt
             cum += r
 
-        coff = R - cum
-        copies.append(emit(L - 1, cur[coff:coff + BR, coff:coff + wo]))
+        coff = R2 - cum
+        if detect_pad:
+            cur = clamp(cur, coff)
+        copies.append(emit_slice(L - 1, cur, coff))
         for cpo in copies:
             cpo.wait()
 
+    out_rows = hp + 8 if detect_pad else hp
     out = pl.pallas_call(
         kernel,
         grid=(B, nblk),
-        out_shape=jax.ShapeDtypeStruct((B, L, hp, wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, L, out_rows, wemit), jnp.float32),
         # HBM, not ANY: at >=2048-wide shapes XLA's memory-space assignment
         # promotes ANY operands into scoped VMEM next to the scratch and
         # blows the 16 MB scoped-vmem limit (compile-time OOM); the kernel
@@ -188,12 +285,14 @@ def octave_chain_pallas(base: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((brh, wp), jnp.float32),
-            pltpu.VMEM((L, BR, wo), jnp.float32),
+            pltpu.VMEM((L, emit_rows, wemit), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((L,)),
         ],
         interpret=interpret,
     )(xp)
+    if detect_pad:
+        return (out if batched else out[0]), True
     out = out if (hp == h and wo == w) else out[:, :, :h, :w]
     return out if batched else out[0]
 
@@ -261,7 +360,8 @@ def blur_pallas(x: jnp.ndarray, taps: Sequence[float]) -> jnp.ndarray:
 
 
 def downsample2_pallas(x: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       src_offset=None) -> jnp.ndarray:
     """Exact decimation by 2 (keep even rows/cols) for (B, H, W) f32.
 
     XLA's lowerings of this are all relayout-bound on TPU (strided conv
@@ -271,11 +371,32 @@ def downsample2_pallas(x: jnp.ndarray,
     every output sums exactly one input element), writing ~bandwidth-
     bound blocks. Rows/cols beyond the input read as zero via the
     selection bounds, so odd sizes ceil-decimate like x[::2, ::2].
+
+    src_offset=(row_off, col_off, h, w): x is a PADDED plane (e.g. the
+    detect_pad layout the conv chain emits) whose image pixel (i, j)
+    lives at x[row_off + i, col_off + j]; decimate the (h, w) image.
+    The offsets fold into the 0/1 selection matrices for free - no
+    relayout slice of the padded plane is ever materialized.
     """
     batched = x.ndim == 3
     if not batched:
         x = x[None]
-    B, h, w = x.shape
+    if src_offset is not None:
+        row_off, col_off, h, w = (int(v) for v in src_offset)
+        if x.shape[-2] < ((h + 127) // 128 * 128) + ((row_off + 7) // 8 * 8) \
+                or x.shape[-1] < (col_off + w + 127) // 128 * 128 \
+                or h < 16 or w < 256 or row_off >= 8:
+            # geometry the offset kernel can't cover: materialize the
+            # cropped image (one relayout copy) and decimate normally
+            x = x[:, row_off:row_off + h, col_off:col_off + w]
+            src_offset = None
+            row_off = col_off = 0
+    else:
+        row_off = col_off = 0
+    if src_offset is None:
+        B, h, w = x.shape
+    else:
+        B = x.shape[0]
     ho = (h + 1) // 2
     wo2 = (w + 1) // 2
     if h < 16 or w < 256:
@@ -285,15 +406,15 @@ def downsample2_pallas(x: jnp.ndarray,
     BRI = 128                                 # input rows per program
     nblk = pl.cdiv(h, BRI)
     hin = nblk * BRI
-    wi = (w + 127) // 128 * 128
+    wi = (col_off + w + 127) // 128 * 128
     wop = ((wo2 + 127) // 128 * 128)
     hop = nblk * (BRI // 2)
 
-    if hin != h or wi != w:
+    if src_offset is None and (hin != h or wi != w):
         # zero-pad to the block grid (pad rows/cols decimate into the
         # cropped region only)
         x = jnp.pad(x, ((0, 0), (0, hin - h), (0, wi - w)))
-    hcl = BRI
+    hcl = BRI + ((row_off + 7) // 8 * 8)
 
     def kernel(x_hbm, out_hbm, buf, acc, sem_in, sem_out):
         b = pl.program_id(0)
@@ -305,15 +426,16 @@ def downsample2_pallas(x: jnp.ndarray,
         cp.start()
         cp.wait()
 
-        # row selection: Sr[i, j] = [j == 2i] (64, BRI); col selection:
-        # Sc[j, k] = [j == 2k] (wi, wop). 0/1 f32 dots select exactly
-        # one element per output - bit-exact vs the strided slice.
+        # row selection: Sr[i, j] = [j == 2i + row_off] (64, hcl); col
+        # selection: Sc[j, k] = [j == 2k + col_off] (wi, wop). 0/1 f32
+        # dots select exactly one element per output - bit-exact vs the
+        # strided slice, and a padded-source offset folds in for free.
         io_r = jax.lax.broadcasted_iota(jnp.int32, (BRI // 2, hcl), 0)
         io_c = jax.lax.broadcasted_iota(jnp.int32, (BRI // 2, hcl), 1)
-        Sr = (io_c == 2 * io_r).astype(jnp.float32)
+        Sr = (io_c == 2 * io_r + row_off).astype(jnp.float32)
         jo_r = jax.lax.broadcasted_iota(jnp.int32, (wi, wop), 0)
         jo_c = jax.lax.broadcasted_iota(jnp.int32, (wi, wop), 1)
-        Sc = (jo_r == 2 * jo_c).astype(jnp.float32)
+        Sc = (jo_r == 2 * jo_c + col_off).astype(jnp.float32)
 
         # HIGHEST: the default MXU path rounds the operands through
         # bf16, which breaks the exact-selection property on hardware

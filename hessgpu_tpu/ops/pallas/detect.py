@@ -152,6 +152,7 @@ def detect_octave_pallas(
     compressed: bool = False,
     detector: str = "hessian",
     interpret: bool = False,
+    prepadded=None,
 ):
     """Fused detection for one octave - ONE kernel launch per octave.
 
@@ -200,6 +201,14 @@ def detect_octave_pallas(
     sign - ComputeDOG_Kernel + GPU_SIFT_MODIFIED ComputeKEY,
     ProgramCU.cu:599-653, 852-853). Both personalities share every other
     stage of this kernel, exactly as the reference's pipeline does.
+
+    prepadded=(H, W): gauss_oct is already the edge-padded detect input
+    the conv chain emits with detect_pad=True (conv.octave_chain_pallas:
+    (B, L, >=rows_needed, Wp) planes whose row t / col c hold the
+    clamped level image at (t - 2, c - 2), geometry from
+    conv.detect_geometry) - the jnp.pad HBM round-trip between the two
+    kernels is skipped and the DMA reads planes p_lo..p_lo+NP in place.
+    Kernel-path (H, W >= 192) only.
     """
     from ..keypoint import KeypointMaps
 
@@ -208,7 +217,11 @@ def detect_octave_pallas(
     batched = gauss_oct.ndim == 4
     if not batched:
         gauss_oct = gauss_oct[None]
-    B, L, H, W = gauss_oct.shape
+    if prepadded is not None:
+        B, L = gauss_oct.shape[:2]
+        H, W = prepadded
+    else:
+        B, L, H, W = gauss_oct.shape
     norms = [float(n) for n in norms]
     key_levels = [int(k) for k in key_levels]
     NK = len(key_levels)
@@ -221,6 +234,7 @@ def detect_octave_pallas(
 
     if H < 192 or W < 192:
         assert canvas is None, "canvas mode requires the kernel path"
+        assert prepadded is None, "prepadded input needs the kernel path"
         # small octaves: per-call fixed costs beat the fusion win - use the
         # XLA path (identical reference math)
         from .. import hessian as hops
@@ -257,26 +271,30 @@ def detect_octave_pallas(
     # loop (observed 26.9 MB at BRD=32, W=2048), so the block size
     # adapts: as large as fits under the 16 MB scoped limit (fewer
     # programs = less fixed DMA-issue/sequencing cost and a smaller
-    # halo-recompute fraction), halving for wide octaves.
-    BRD = 64
-    while BRD > 8 and 55 * BRD * W * 4 > 13 * 1024 * 1024:
-        BRD //= 2
-    nblk = pl.cdiv(H, BRD)
-    BRH = BRD + 8           # 2-row halos each side, rounded to sublanes
+    # halo-recompute fraction), halving for wide octaves. The geometry
+    # lives in conv.detect_geometry so the conv chain can emit this
+    # kernel's padded input layout directly (prepadded mode).
+    from .conv import detect_geometry
+    BRD, nblk, BRH, Wp, rows_needed = detect_geometry(H, W)
     Wc = (W + 127) // 128 * 128   # canvas write width (lane-aligned)
-    # buffer width: canvas mode reads gradient slices at width Wc starting
-    # at col 3, so guarantee Wc + 4 columns even when W is not lane-aligned
-    Wp = (max(W, Wc) + 2 + 2 + 127) // 128 * 128
     p_lo = key_levels[0] - 1
     # Gaussian planes spanned by all 3x3x3 tests: DoG response kl+1 reads
     # gauss[kl+2], one plane past the Hessian span
     NP = key_levels[-1] + (2 if is_hessian else 3) - p_lo
 
-    # edge-pad (2 px left/top; bottom/right up to the aligned extents)
-    bot = nblk * BRD + BRH - (H + 2)
-    gp = jnp.pad(gauss_oct[:, p_lo:p_lo + NP],
-                 ((0, 0), (0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
-                 mode="edge")
+    if prepadded is not None:
+        assert gauss_oct.shape[-1] == Wp, (gauss_oct.shape, Wp)
+        assert gauss_oct.shape[-2] >= rows_needed, \
+            (gauss_oct.shape, rows_needed)
+        gp = gauss_oct
+        plane0 = p_lo
+    else:
+        # edge-pad (2 px left/top; bottom/right up to the aligned extents)
+        bot = nblk * BRD + BRH - (H + 2)
+        gp = jnp.pad(gauss_oct[:, p_lo:p_lo + NP],
+                     ((0, 0), (0, 0), (2, max(bot, 2)), (2, Wp - W - 2)),
+                     mode="edge")
+        plane0 = 0
 
     create_canvas = False
     if canvas is not None:
@@ -307,7 +325,7 @@ def detect_octave_pallas(
         blk = pl.program_id(1)
         row0 = pl.multiple_of(blk * BRD, 8)
         cp = pltpu.make_async_copy(
-            g_hbm.at[b, pl.ds(0, NP), pl.ds(row0, BRH), pl.ds(0, Wp)],
+            g_hbm.at[b, pl.ds(plane0, NP), pl.ds(row0, BRH), pl.ds(0, Wp)],
             gbuf, sem)
         cp.start()
         cp.wait()

@@ -86,7 +86,8 @@ def make_plan(height: int, width: int, cfg: SiftConfig) -> PipelinePlan:
 # stage helpers
 # ---------------------------------------------------------------------------
 
-def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
+def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig,
+                   detect_pad: bool = False):
     """Gaussian stacks for every octave. img: (H, W) f32 [0,1], or
     (B, H, W) - the batch rides the Pallas grids / conv batch dims, so one
     compiled program serves any B.
@@ -94,6 +95,13 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
     Reference: PyramidCU::BuildPyramid (PyramidCU.cpp:1486-1558).
     On accelerators the separable convolutions run as Pallas kernels
     (ops/pallas/conv.py); XLA convolutions remain the CPU/reference path.
+
+    detect_pad=True (pallas path only): kernel-sized octaves are emitted
+    in the DETECT kernel's edge-padded layout straight from the conv
+    chain (conv.octave_chain_pallas detect_pad mode) - no jnp.pad HBM
+    round-trip between the two kernels. Returns (octaves, flags) where
+    flags[o] says octave o is padded; the next octave's base then comes
+    from an offset-decimating downsample of the padded plane.
     """
     from .params import gaussian_taps
 
@@ -102,7 +110,8 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
     use_pallas = cfg.use_pallas and jax.default_backend() != "cpu"
 
     if use_pallas:
-        from .ops.pallas.conv import blur_pallas, octave_chain_pallas
+        from .ops.pallas.conv import (blur_pallas, downsample2_pallas,
+                                      octave_chain_pallas)
 
         def blur(x, sigma):
             if sigma <= 0:
@@ -116,26 +125,41 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig):
                 gaussian_taps(s, pp.filter_width_factor) if s > 0 else ()
                 for s in pp.incremental_sigmas()
             ]
-            return octave_chain_pallas(b, taps_list)
+            h, w = b.shape[-2:]
+            if detect_pad and min(h, w) >= 192:
+                return octave_chain_pallas(b, taps_list, detect_pad=True)
+            return octave_chain_pallas(b, taps_list), False
     else:
         def blur(x, sigma):
             return gaussian.blur(x, sigma, p.filter_width_factor)
 
-        build = (gaussian.build_octave_chain if cfg.conv_mode == "chain"
-                 else gaussian.build_octave_direct)
+        _build0 = (gaussian.build_octave_chain if cfg.conv_mode == "chain"
+                   else gaussian.build_octave_direct)
+
+        def build(b, pp):
+            return _build0(b, pp), False
 
     octaves = []
+    flags = []
     base = blur(img, p.initial_blur_sigma(cfg.first_octave))
     lds = p.level_ds - p.level_min
     for o in range(plan.num_octaves):
         if o > 0:
             src = octaves[-1][:, lds] if batched else octaves[-1][lds]
-            base = resize.downsample(src, 1)
+            if flags[-1]:
+                # padded plane: the decimation's 0/1 selection matrices
+                # absorb the (2, 2) origin - no relayout slice
+                ph, pw = plan.octave_shapes[o - 1]
+                base = downsample2_pallas(src, src_offset=(2, 2, ph, pw))
+            else:
+                base = resize.downsample(src, 1)
             skip = p.octave_restart_sigma()
             if skip > 0:
                 base = blur(base, skip)
-        octaves.append(build(base, p))
-    return octaves
+        oct_o, padded = build(base, p)
+        octaves.append(oct_o)
+        flags.append(padded)
+    return (octaves, flags) if detect_pad else octaves
 
 
 def _detect_norms(p, cfg: SiftConfig):
@@ -342,9 +366,13 @@ def _level_trunc_mask(table: GlobalTable, k: int, num_levels: int,
     return keep_level[table.level_id]
 
 
-def _canvas_setup(octaves, nkey: int, pad: int, batch: Optional[int] = None):
+def _canvas_setup(oct_shapes, nkey: int, pad: int,
+                  batch: Optional[int] = None):
     """PackingPlan + canvas descriptors for the detect kernel's direct
     writes (shared by the single and batched pipelines).
+
+    oct_shapes: per-octave (h, w) LOGICAL shapes (plan.octave_shapes -
+    the stacks themselves may be in the detect-padded layout).
 
     Returns (pplan, gradc, rotc) where gradc/rotc are ShapeDtypeStructs:
     the FIRST kernel-path detect call creates the canvases as pure pallas
@@ -355,8 +383,8 @@ def _canvas_setup(octaves, nkey: int, pad: int, batch: Optional[int] = None):
     from .ops.pallas.patch import PackingPlan
 
     shapes = []
-    for gauss_oct in octaves:
-        shapes += [gauss_oct.shape[-2:]] * nkey
+    for hw in oct_shapes:
+        shapes += [tuple(hw)] * nkey
     pplan = PackingPlan(shapes, pad)
     n_planes = pplan.num_planes * (1 if batch is None else batch)
     gradc = jax.ShapeDtypeStruct((n_planes, pplan.Hp, pplan.Wp),
@@ -365,7 +393,8 @@ def _canvas_setup(octaves, nkey: int, pad: int, batch: Optional[int] = None):
 
 
 def _detect_octave_canvas(gauss_oct, o: int, nkey: int, p, cfg, pplan,
-                          gradc, rotc, compressed: bool = False):
+                          gradc, rotc, compressed: bool = False,
+                          prepadded=None):
     """Kernel-path detection with grad/rot DMAed into the canvas cells."""
     from .ops.pallas.detect import detect_octave_pallas
 
@@ -378,6 +407,7 @@ def _detect_octave_canvas(gauss_oct, o: int, nkey: int, p, cfg, pplan,
         darkness_adaption=cfg.darkness_adaption,
         detector=cfg.detector,
         compressed=compressed,
+        prepadded=prepadded,
         canvas=(gradc, rotc,
                 [pplan.plane_of[l] for l in lids],
                 [pplan.dro[l] for l in lids],
@@ -429,8 +459,15 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     # named scopes carry the reference TIMINGS_* bucket names (config.h:
     # 17-31) into the compiled HLO's op metadata; utils.timing.
     # device_stage_breakdown maps profiler trace ops back through them.
+    interpret0 = jax.default_backend() == "cpu"
+    use_pallas0 = cfg.use_pallas and not interpret0
     with jax.named_scope("BUILD_PYRAMID"):
-        octaves = _build_pyramid(img, plan, cfg)
+        if use_pallas0:
+            octaves, pad_flags = _build_pyramid(img, plan, cfg,
+                                                detect_pad=True)
+        else:
+            octaves = _build_pyramid(img, plan, cfg)
+            pad_flags = [False] * len(octaves)
 
     NKEY = len(p.key_levels)
     max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
@@ -452,7 +489,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     use_canvas = use_pallas
     if use_canvas:
         from .ops.pallas.patch import PackedStack
-        pplan, gradc, rotc = _canvas_setup(octaves, NKEY, pad)
+        pplan, gradc, rotc = _canvas_setup(plan.octave_shapes, NKEY, pad)
 
     # ---- detection + per-level compaction (cheap scatters) -------------------
     # packed lists + deferred payload pickup (see _globalize_packed)
@@ -465,7 +502,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     rots: List[jnp.ndarray] = []
     idx = 0
     for o, gauss_oct in enumerate(octaves):
-        oh, ow = gauss_oct.shape[-2:]
+        oh, ow = plan.octave_shapes[o]
         kernel_oct = use_canvas and min(oh, ow) >= 192
         # compressed kernel outputs: u16 sort key + packed payload planes
         # straight from the detect kernel (no XLA packing fusions, half
@@ -476,7 +513,8 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
             if kernel_oct:
                 maps, gradc, rotc = _detect_octave_canvas(
                     gauss_oct, o, NKEY, p, cfg, pplan, gradc, rotc,
-                    compressed=comp)
+                    compressed=comp,
+                    prepadded=(oh, ow) if pad_flags[o] else None)
             else:
                 maps, grad, rot = _detect_octave(gauss_oct, plan, cfg)
                 if use_canvas:
@@ -711,7 +749,8 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     B = imgs.shape[0]
 
     with jax.named_scope("BUILD_PYRAMID"):
-        octaves = _build_pyramid(imgs, plan, cfg)
+        octaves, pad_flags = _build_pyramid(imgs, plan, cfg,
+                                            detect_pad=True)
 
     NKEY = len(p.key_levels)
     max_sigma = p.key_level_sigma(p.key_levels[-1]) * \
@@ -729,7 +768,8 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     # intermediates, no pad/concat canvas build - that copy pass cost
     # ~2 ms/batch at B=16)
     use_canvas = True
-    pplan, gradc, rotc = _canvas_setup(octaves, NKEY, pad, batch=B)
+    pplan, gradc, rotc = _canvas_setup(plan.octave_shapes, NKEY, pad,
+                                       batch=B)
 
     # packed lists + deferred payload pickup (see _globalize_packed)
     use_packed = use_canvas and all(
@@ -741,7 +781,7 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     rots: List[jnp.ndarray] = []
     idx = 0
     for o, gauss_oct in enumerate(octaves):
-        oh, ow = gauss_oct.shape[-2:]
+        oh, ow = plan.octave_shapes[o]
         kernel_oct = min(oh, ow) >= 192
         comp = use_canvas and kernel_oct and (ow << 2) < 0xFFFF
         sigmas = [p.key_level_sigma(kl) for kl in p.key_levels]
@@ -750,7 +790,8 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
             if use_canvas and kernel_oct:
                 maps, gradc, rotc = _detect_octave_canvas(
                     gauss_oct, o, NKEY, p, cfg, pplan, gradc, rotc,
-                    compressed=comp)
+                    compressed=comp,
+                    prepadded=(oh, ow) if pad_flags[o] else None)
             else:
                 maps, grad, rot = _detect_octave_batched(gauss_oct, plan,
                                                          cfg)
