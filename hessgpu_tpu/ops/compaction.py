@@ -37,9 +37,11 @@ import numpy as np
 
 # Per-row candidate cap for the dense two-stage compaction below. The
 # global per-level cap is <= 0.5% of pixels (GlobalUtil.cpp:67-68) and the
-# 3x3 NMS spaces detections >= 2 px apart, so > 64 detections in a single
-# pixel row of one level is far past saturation.
-_ROW_CAP = 64
+# 3x3 NMS spaces detections >= 2 px apart, so > 32 detections in a single
+# pixel row of ONE level is far past saturation (0.5% of a 640-px row is
+# ~3). Halving 64 -> 32 also halves the stage-2 raster sort, the second-
+# largest GENERATE_FEATURE_LIST op (0.47 -> 0.24 ms/batch at B=16).
+_ROW_CAP = 32
 
 _Q = 16384.0   # s16 fixed-point scale for subpixel offsets in (-1, 1)
 

@@ -49,58 +49,47 @@ class KeypointMaps(NamedTuple):
 
 
 def _solve3_pivoted(a0, a1, a2):
-    """Gaussian elimination on rows a0/a1/a2 = (x, y, z, w) replicating the
-    reference pivoting (ProgramCU.cu:784-824).
+    """Symmetric 3x3 solve A x = w by adjugate (Cramer).
 
-    Each a* is a tuple of 4 same-shaped arrays. Returns (ok, dx, dy, ds):
-    ok=False marks pixels where a pivot degenerated (accepted unrefined).
+    Each a* is a tuple of 4 same-shaped arrays (row coefficients + rhs).
+    Both call sites pass the symmetric scale-space Hessian system
+    (a1[0] is a0[1], a2[0] is a0[2], a2[1] is a1[2]), so the adjugate
+    form applies and needs ~half the vector ops of the reference's
+    pivoted elimination (ProgramCU.cu:784-824) - the dominant VPU cost
+    of the fused detect kernel. The solution is algebraically identical;
+    f32 rounding differs from the elimination path only in the last
+    bits, far below the q14 offset / f16 response quantization the
+    payloads apply. Returns (ok, dx, dy, ds): ok=False marks degenerate
+    systems (|det| < 1e-30 ~ the product of the reference's three 1e-10
+    pivot floors) - those pixels are accepted unrefined, as in the
+    reference.
     """
-    def scale_row(row):
-        s = jnp.where(row[0] > 0, 1.0, -1.0)
-        return tuple(s * c for c in row)
-
-    a0 = scale_row(a0)
-    a1 = scale_row(a1)
-    a2 = scale_row(a2)
-
-    maxa = jnp.maximum(jnp.maximum(a0[0], a1[0]), a2[0])
-    ok0 = maxa >= 1e-10
-
-    # pivot selection: prefer A1 on equality, then A2 (reference order)
-    swap1 = maxa == a1[0]
-    swap2 = (~swap1) & (maxa == a2[0])
-
-    def sel(i):
-        return jnp.where(swap1, a1[i], jnp.where(swap2, a2[i], a0[i]))
-
-    n0 = tuple(sel(i) for i in range(4))
-    n1 = tuple(jnp.where(swap1, a0[i], a1[i]) for i in range(4))
-    n2 = tuple(jnp.where(swap2, a0[i], a2[i]) for i in range(4))
-    a0, a1, a2 = n0, n1, n2
-
-    inv = 1.0 / jnp.where(ok0, a0[0], 1.0)
-    a0 = (a0[0], a0[1] * inv, a0[2] * inv, a0[3] * inv)
-    a1 = (a1[0], a1[1] - a1[0] * a0[1], a1[2] - a1[0] * a0[2], a1[3] - a1[0] * a0[3])
-    a2 = (a2[0], a2[1] - a2[0] * a0[1], a2[2] - a2[0] * a0[2], a2[3] - a2[0] * a0[3])
-
-    swapb = jnp.abs(a2[1]) > jnp.abs(a1[1])
-    b1 = tuple(jnp.where(swapb, a2[i], a1[i]) for i in range(4))
-    b2 = tuple(jnp.where(swapb, a1[i], a2[i]) for i in range(4))
-    a1, a2 = b1, b2
-
-    ok1 = ok0 & (jnp.abs(a1[1]) >= 1e-10)
-    inv1 = 1.0 / jnp.where(ok1, a1[1], 1.0)
-    a1 = (a1[0], a1[1], a1[2] * inv1, a1[3] * inv1)
-    a2z = a2[2] - a2[1] * a1[2]
-    a2w = a2[3] - a2[1] * a1[3]
-
-    ok2 = ok1 & (jnp.abs(a2z) >= 1e-10)
-    ds = a2w / jnp.where(ok2, a2z, 1.0)
-    dy = a1[3] - ds * a1[2]
-    dx = a0[3] - ds * a0[2] - dy * a0[1]
-
+    a, b, c, r0 = a0
+    d, e, r1 = a1[1], a1[2], a1[3]
+    f, r2 = a2[2], a2[3]
+    C00 = d * f - e * e
+    C01 = c * e - b * f
+    C02 = b * e - c * d
+    det = a * C00 + b * C01 + c * C02
+    ok = jnp.abs(det) >= 1e-30
+    rdet = 1.0 / jnp.where(ok, det, 1.0)
+    # scale the rhs once instead of each solution: same op count, but
+    # det/rdet and each cofactor die as soon as their dot is formed,
+    # which keeps the Mosaic vmem stack under the 16 MB scoped limit
+    # (the naive ordering of this solve overflowed it by 32 KB at
+    # BRD=64, W=640)
+    s0 = r0 * rdet
+    s1 = r1 * rdet
+    s2 = r2 * rdet
+    dx = C00 * s0 + C01 * s1 + C02 * s2
+    C11 = a * f - c * c
+    C12 = b * c - a * e
+    dy = C01 * s0 + C11 * s1 + C12 * s2
+    C22 = a * d - b * b
+    ds = C02 * s0 + C12 * s1 + C22 * s2
     zero = jnp.zeros_like(ds)
-    return ok2, jnp.where(ok2, dx, zero), jnp.where(ok2, dy, zero), jnp.where(ok2, ds, zero)
+    return ok, jnp.where(ok, dx, zero), jnp.where(ok, dy, zero), \
+        jnp.where(ok, ds, zero)
 
 
 def detect_keypoints_level(

@@ -5,8 +5,9 @@ VMEM-resident pass.
 The XLA formulation (ops/hessian.py + ops/keypoint.py) materializes ~30
 shifted copies of each level in HBM; this kernel DMAs a row-block of the
 Gaussian stack once and produces every detection output for the block -
-identical math (the same where-masked tests and the same pivoted 3x3 solve
-as ops/keypoint.py, which remains the reference implementation for tests).
+identical math (the same where-masked tests and the same symmetric 3x3
+adjugate solve as ops/keypoint.py, which remains the reference
+implementation for tests).
 
 Layout: grid over row blocks. Each program copies gauss[(L, BRH, Wp)]
 (2-row halo each side, edge-padded outside), computes responses for all L
@@ -93,51 +94,37 @@ def _f16_bits(x):
 
 
 def _solve3(a0, a1, a2):
-    """Vectorized pivoted 3x3 solve (same as ops/keypoint._solve3_pivoted)."""
-    def scale_row(row):
-        s = jnp.where(row[0] > 0, 1.0, -1.0)
-        return tuple(s * c for c in row)
-
-    a0 = scale_row(a0)
-    a1 = scale_row(a1)
-    a2 = scale_row(a2)
-
-    maxa = jnp.maximum(jnp.maximum(a0[0], a1[0]), a2[0])
-    ok0 = maxa >= 1e-10
-    swap1 = maxa == a1[0]
-    swap2 = (~swap1) & (maxa == a2[0])
-
-    n0 = tuple(jnp.where(swap1, a1[i], jnp.where(swap2, a2[i], a0[i]))
-               for i in range(4))
-    n1 = tuple(jnp.where(swap1, a0[i], a1[i]) for i in range(4))
-    n2 = tuple(jnp.where(swap2, a0[i], a2[i]) for i in range(4))
-    a0, a1, a2 = n0, n1, n2
-
-    inv = 1.0 / jnp.where(ok0, a0[0], 1.0)
-    a0 = (a0[0], a0[1] * inv, a0[2] * inv, a0[3] * inv)
-    a1 = (a1[0], a1[1] - a1[0] * a0[1], a1[2] - a1[0] * a0[2],
-          a1[3] - a1[0] * a0[3])
-    a2 = (a2[0], a2[1] - a2[0] * a0[1], a2[2] - a2[0] * a0[2],
-          a2[3] - a2[0] * a0[3])
-
-    swapb = jnp.abs(a2[1]) > jnp.abs(a1[1])
-    b1 = tuple(jnp.where(swapb, a2[i], a1[i]) for i in range(4))
-    b2 = tuple(jnp.where(swapb, a1[i], a2[i]) for i in range(4))
-    a1, a2 = b1, b2
-
-    ok1 = ok0 & (jnp.abs(a1[1]) >= 1e-10)
-    inv1 = 1.0 / jnp.where(ok1, a1[1], 1.0)
-    a1 = (a1[0], a1[1], a1[2] * inv1, a1[3] * inv1)
-    a2z = a2[2] - a2[1] * a1[2]
-    a2w = a2[3] - a2[1] * a1[3]
-
-    ok2 = ok1 & (jnp.abs(a2z) >= 1e-10)
-    ds = a2w / jnp.where(ok2, a2z, 1.0)
-    dy = a1[3] - ds * a1[2]
-    dx = a0[3] - ds * a0[2] - dy * a0[1]
+    """Symmetric 3x3 adjugate solve (same as ops/keypoint._solve3_pivoted,
+    which documents the Cramer formulation and its degenerate-system
+    contract). ~45 vector ops vs ~95 for the pivoted elimination this
+    replaced - solve3 was the largest single VPU block of the detect
+    kernel's per-level loop."""
+    a, b, c, r0 = a0
+    d, e, r1 = a1[1], a1[2], a1[3]
+    f, r2 = a2[2], a2[3]
+    C00 = d * f - e * e
+    C01 = c * e - b * f
+    C02 = b * e - c * d
+    det = a * C00 + b * C01 + c * C02
+    ok = jnp.abs(det) >= 1e-30
+    rdet = 1.0 / jnp.where(ok, det, 1.0)
+    # scale the rhs once instead of each solution: same op count, but
+    # det/rdet and each cofactor die as soon as their dot is formed,
+    # which keeps the Mosaic vmem stack under the 16 MB scoped limit
+    # (the naive ordering of this solve overflowed it by 32 KB at
+    # BRD=64, W=640)
+    s0 = r0 * rdet
+    s1 = r1 * rdet
+    s2 = r2 * rdet
+    dx = C00 * s0 + C01 * s1 + C02 * s2
+    C11 = a * f - c * c
+    C12 = b * c - a * e
+    dy = C01 * s0 + C11 * s1 + C12 * s2
+    C22 = a * d - b * b
+    ds = C02 * s0 + C12 * s1 + C22 * s2
     zero = jnp.zeros_like(ds)
-    return ok2, jnp.where(ok2, dx, zero), jnp.where(ok2, dy, zero), \
-        jnp.where(ok2, ds, zero)
+    return ok, jnp.where(ok, dx, zero), jnp.where(ok, dy, zero), \
+        jnp.where(ok, ds, zero)
 
 
 def detect_octave_pallas(
