@@ -35,13 +35,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Per-row candidate cap for the dense two-stage compaction below. The
-# global per-level cap is <= 0.5% of pixels (GlobalUtil.cpp:67-68) and the
-# 3x3 NMS spaces detections >= 2 px apart, so > 32 detections in a single
-# pixel row of ONE level is far past saturation (0.5% of a 640-px row is
-# ~3). Halving 64 -> 32 also halves the stage-2 raster sort, the second-
-# largest GENERATE_FEATURE_LIST op (0.47 -> 0.24 ms/batch at B=16).
+# Per-row candidate floor for the dense two-stage compaction below (the
+# effective cap scales with width, _row_cap). 32 is far above observed
+# densities at bench widths (the reference's own saddle-flood demo,
+# checkerboard.png at -t 0.000001, peaks at 10 detections in a row), and
+# halving 64 -> 32 halved the stage-2 raster sort, the second-largest
+# GENERATE_FEATURE_LIST op (0.47 -> 0.24 ms/batch at B=16).
 _ROW_CAP = 32
+
+
+def _row_cap(w: int) -> int:
+    """Per-row candidate cap for a w-wide level: max(32, w/32), <= 256.
+
+    The 3x3 NMS admits up to w/2 survivors per row, so a fixed cap can
+    truncate where the reference (per-level area cap only,
+    PyramidCU.cpp:443-451) would not. Scaling with width bounds the
+    divergence: truncation requires ONE row of ONE level to sustain more
+    than 1 NMS survivor per 32 px across its whole extent while the level
+    is still under its 0.5%-of-pixels cap - e.g. >64 survivors in a
+    single 2048-px row. tests/test_compaction.py pins membership parity
+    vs the uncapped scatter path on a synthetic saddle flood whose rows
+    exceed the old fixed cap of 32."""
+    return max(_ROW_CAP, min(256, w // 32))
 
 _Q = 16384.0   # s16 fixed-point scale for subpixel offsets in (-1, 1)
 
@@ -207,7 +222,7 @@ def compact_octave_keypoints(maps, sigmas, sigma_step: float,
     nk, h, w = valid3.shape
     n = h * w
 
-    kpr = min(w, _ROW_CAP)
+    kpr = min(w, _row_cap(w))
     col = jax.lax.broadcasted_iota(jnp.int32, (nk, h, w), 2)
     key1 = jnp.where(valid3, (col << 2) | (maps.ftype & 3), w << 2)
     if (w << 2) < 0xFFFF:
@@ -311,7 +326,7 @@ def compact_octave_compressed_packed(key, lid_base: int,
         kw = jnp.pad(kw, ((0, 0), (0, 0), (0, 1)),
                      constant_values=np.uint16(w << 2))
     kmin = jnp.min(kw.reshape(nk, h, -1, 2), axis=-1)
-    kpr = min((w + 1) // 2, _ROW_CAP)
+    kpr = min((w + 1) // 2, _row_cap(w))
     cand = _first_k_ascending(kmin, kpr).astype(jnp.int32)
     cand_valid = cand < (w << 2)
     row = jax.lax.broadcasted_iota(jnp.int32, (nk, h, kpr), 1)
@@ -332,7 +347,7 @@ def compact_octave_maps_packed(maps, lid_base: int, capacity: int):
     assert h <= 4096 and w <= 4096, "packed lists need 12-bit row/col"
     n = h * w
 
-    kpr = min(w, _ROW_CAP)
+    kpr = min(w, _row_cap(w))
     col = jax.lax.broadcasted_iota(jnp.int32, (nk, h, w), 2)
     key1 = jnp.where(valid3, (col << 2) | (maps.ftype & 3), w << 2)
     if (w << 2) < 0xFFFF:
@@ -369,7 +384,7 @@ def compact_octave_compressed(key, p1, p2, sigmas, sigma_step: float,
         kw = jnp.pad(kw, ((0, 0), (0, 0), (0, 1)),
                      constant_values=np.uint16(w << 2))
     kmin = jnp.min(kw.reshape(nk, h, -1, 2), axis=-1)
-    kpr = min((w + 1) // 2, _ROW_CAP)
+    kpr = min((w + 1) // 2, _row_cap(w))
     cand = _first_k_ascending(kmin, kpr).astype(jnp.int32)  # (NK, H, kpr)
     cand_valid = cand < (w << 2)
     row = jax.lax.broadcasted_iota(jnp.int32, (nk, h, kpr), 1)

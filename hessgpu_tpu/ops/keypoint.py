@@ -57,12 +57,22 @@ def _solve3_pivoted(a0, a1, a2):
     form applies and needs ~half the vector ops of the reference's
     pivoted elimination (ProgramCU.cu:784-824) - the dominant VPU cost
     of the fused detect kernel. The solution is algebraically identical;
-    f32 rounding differs from the elimination path only in the last
-    bits, far below the q14 offset / f16 response quantization the
-    payloads apply. Returns (ok, dx, dy, ds): ok=False marks degenerate
-    systems (|det| < 1e-30 ~ the product of the reference's three 1e-10
-    pivot floors) - those pixels are accepted unrefined, as in the
-    reference.
+    for well-conditioned systems f32 rounding differs from the
+    elimination path only in the last bits, far below the q14 offset /
+    f16 response quantization the payloads apply.
+
+    Near-singular behavior deliberately differs from the reference's
+    pivoted elimination: the reference floors each PIVOT at 1e-10, so an
+    ill-conditioned-but-nonzero system is classified degenerate and the
+    keypoint is accepted UNREFINED, while this solve still inverts it
+    and the resulting huge offsets fail the |dx|,|dy|,|ds| < 1 gate
+    downstream - the keypoint is REJECTED. Both policies are arbitrary
+    there (the quadratic model is meaningless for such pixels); none of
+    the data/ images exercise the gap (feature parity is exact on the
+    golden tests), so membership can differ from the reference only at
+    near-singular saddle ridges. Returns
+    (ok, dx, dy, ds): ok=False marks degenerate
+    systems (|det| < 1e-30) - those pixels are accepted unrefined.
     """
     a, b, c, r0 = a0
     d, e, r1 = a1[1], a1[2], a1[3]

@@ -139,19 +139,36 @@ def octave_chain_pallas(base: jnp.ndarray,
 
     # block rows: tile h exactly when h is a multiple of 8 (nblk * BR ==
     # hp == h), so the post-kernel crop is a no-op for the common shapes.
-    # The Mosaic vmem stack holds ~a dozen live (brh, wp) canvas
-    # temporaries for the unrolled chain, so at large widths the 128-row
-    # block passes the 16 MB scoped-vmem limit (compile-time OOM at
-    # 2048-wide; raising the limit via CompilerParams sends the compile
-    # into tens of minutes) - shrink the block until the estimated stack
-    # fits, else fall back to the per-level kernel (still Pallas, one HBM
-    # round-trip per level instead of one total).
+    # The Mosaic vmem stack holds MANY live (brh, wp) canvas temporaries
+    # for the unrolled chain, and the 16 MB scoped-vmem limit counts the
+    # kernel's declared scratch (buf + acc) on top of that stack (raising
+    # the limit via CompilerParams sends the compile into tens of
+    # minutes). Estimator calibrated against Mosaic's own number at the
+    # one shape that overflowed (640x480 B=16 detect_pad, br0=128:
+    # brh=224, wp=896, Mosaic reported 16.10 MB = stack ~17 canvas
+    # temporaries + buf 0.77 MB + acc 2.39 MB), with a real margin:
+    # detect_pad shapes must fit 13 MB (~80% of the limit) or drop a
+    # block size. The unpadded chain keeps the blocking that compiled
+    # and ran for rounds 3-4 (coefficient 14, 14.5 MB cap - its 640/1024
+    # shapes measured well under the limit) but now counts scratch too.
+    coeff, cap = (17, 13 * 1024 * 1024) if detect_pad else \
+                 (14, int(14.5 * 1024 * 1024))
     for br0 in (128, 64, 32, 16):
-        est = (12 * (br0 + halo) * wp
-               + len(taps_list) * (br0 + 8) * wemit) * 4
-        if est <= 14 * 1024 * 1024:
+        brh0 = br0 + halo
+        emit0 = (br0 + 8) if detect_pad else br0
+        est = (coeff * brh0 * wp          # Mosaic vmem stack (live temps)
+               + brh0 * wp                # declared scratch: buf
+               + L * emit0 * wemit) * 4   # declared scratch: acc
+        if est <= cap:
             break
     else:
+        if detect_pad:
+            # no competitive detect_pad blocking fits: run the fused
+            # unpadded chain instead (one kernel, tight layout) and let
+            # the caller edge-pad for the detect kernel the old way
+            return octave_chain_pallas(
+                base if batched else base[0],
+                taps_list, interpret=interpret, detect_pad=False), False
         return _fallback_unpadded()
     nblk = pl.cdiv(h, br0)
     if detect_pad:

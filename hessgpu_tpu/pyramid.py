@@ -153,6 +153,12 @@ def _build_pyramid(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig,
                 base = downsample2_pallas(src, src_offset=(2, 2, ph, pw))
             else:
                 base = resize.downsample(src, 1)
+            # decimation keeps ceil(h/2) rows (even indices of h), but the
+            # plan floor-halves like the reference (w>>1, h>>1,
+            # PyramidCU.cpp:150): crop so plan and arrays agree for
+            # odd-dimension octaves (no-op slice for even dims)
+            oh, ow = plan.octave_shapes[o]
+            base = base[..., :oh, :ow]
             skip = p.octave_restart_sigma()
             if skip > 0:
                 base = blur(base, skip)

@@ -2,18 +2,25 @@
 headline number: warmup drained by a value fetch, timed region ends in a
 value fetch). For lever iteration; the recorded number stays bench.py's."""
 
+import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-B = 16
-ITERS = 32
+_DEFAULT_IMG = "/root/reference/data/640-1.jpg"
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", default=_DEFAULT_IMG)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=32)
+    args = ap.parse_args()
+    B, ITERS = args.batch, args.iters
     import jax
     import jax.numpy as jnp
 
@@ -23,7 +30,7 @@ def main():
     from hessgpu_tpu.parallel.batch import _batched_pipeline
     from hessgpu_tpu.pyramid import _CfgKey, make_plan
 
-    img = load_image("/root/reference/data/640-1.jpg")
+    img = load_image(args.image)
     g = np.asarray(rgb_to_gray(to_float(jnp.asarray(img))), np.float32)
     h, w = g.shape
     cfg = SiftConfig()

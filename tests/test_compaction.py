@@ -155,3 +155,50 @@ def test_packed_globalize_matches_eager():
         np.testing.assert_array_equal(np.asarray(getattr(tp, f)),
                                       np.asarray(getattr(te, f)),
                                       err_msg=f"field {f}")
+
+
+def test_row_cap_scales_with_width_dense_flood():
+    """Saddle-flood parity (VERDICT r4 #8): a 2048-wide row holding more
+    detections than the old fixed per-row cap of 32 must compact with
+    membership identical to the uncapped raster-order reference policy
+    (the reference only drops at the per-level area cap,
+    PyramidCU.cpp:443-451). 51 valid columns per flooded row exercises
+    the width-scaled cap (_row_cap(2048) = 64 > 51 > 32)."""
+    from hessgpu_tpu.ops.compaction import (_row_cap,
+                                            compact_octave_keypoints,
+                                            compact_octave_maps_packed)
+    from hessgpu_tpu.ops.keypoint import KeypointMaps
+
+    assert _row_cap(640) == 32 and _row_cap(2048) == 64
+
+    h, w = 64, 2048
+    valid = np.zeros((1, h, w), bool)
+    valid[0, 2:h - 2:4, 2:w - 2:40] = True       # 51 per flooded row
+    per_row = valid[0].sum(axis=1).max()
+    assert per_row > 32, per_row                 # exceeds the old cap
+    rng = np.random.RandomState(7)
+    maps = KeypointMaps(
+        valid=jnp.asarray(valid),
+        response=jnp.asarray(rng.randn(1, h, w).astype(np.float16)
+                             .astype(np.float32)),
+        dx=jnp.zeros((1, h, w), jnp.float32),   # zero offsets so
+        dy=jnp.zeros((1, h, w), jnp.float32),   # floor(x), floor(y)
+        ds=jnp.zeros((1, h, w), jnp.float32),   # recover (row, col)
+        ftype=jnp.asarray(rng.randint(0, 3, (1, h, w)), jnp.int32),
+    )
+    cap = 1024
+    assert valid.sum() <= cap                    # under the area cap
+    fl = compact_octave_keypoints(maps, [1.6], 1.26, cap)
+    n = int(np.asarray(fl.count())[0])
+    assert n == valid.sum()
+    rows, cols = np.nonzero(valid[0])            # raster order
+    np.testing.assert_array_equal(
+        np.floor(np.asarray(fl.y[0][:n])).astype(int), rows)
+    np.testing.assert_array_equal(
+        np.floor(np.asarray(fl.x[0][:n])).astype(int), cols)
+
+    # packed twin sees the same membership
+    pl_, _, _ = compact_octave_maps_packed(maps, 0, cap)
+    pk = np.asarray(pl_.packed[0][:n])
+    np.testing.assert_array_equal(pk >> 20, rows)
+    np.testing.assert_array_equal((pk >> 8) & 0xFFF, cols)

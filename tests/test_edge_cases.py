@@ -167,3 +167,22 @@ def test_parser_m_optional_value_and_ofix_not():
     assert SiftConfig.parse_args(["-m", "9"]).max_orientations == 4
     cfg = SiftConfig.parse_args(["-ofix", "-ofix-not"])
     assert not cfg.fixed_orientation
+
+
+def test_odd_dims_builder_matches_plan(gray_small):
+    """ADVICE r4 (high): params.octave_shapes floor-halves (reference
+    w>>1/h>>1, PyramidCU.cpp:150) while decimation keeps ceil(h/2) rows;
+    the builder must crop so every octave array matches the plan exactly
+    (canvas geometry, prepadded detect shapes, and offset-downsamples all
+    trust plan.octave_shapes since round 4)."""
+    import jax.numpy as jnp
+    from hessgpu_tpu.pyramid import _build_pyramid, make_plan
+
+    img = gray_small[:157, :193]  # odd dims at every octave
+    cfg = SiftConfig()
+    plan = make_plan(*img.shape, cfg)
+    octs = _build_pyramid(jnp.asarray(img), plan, cfg)
+    assert [tuple(o.shape[-2:]) for o in octs] == list(plan.octave_shapes)
+    # shapes stay odd through at least one halving (157 -> 78 is even,
+    # 193 -> 96 is even; make sure a genuinely odd halving is present)
+    assert any(h % 2 or w % 2 for (h, w) in plan.octave_shapes)
