@@ -84,17 +84,27 @@ def main():
 
     # DoG personality (-dog) rides the same kernels with a different
     # response function; report it alongside so a regression is visible
-    cfg_dog = SiftConfig(detector="dog")
-    plan_dog = make_plan(h, w, cfg_dog)
-    ckey_dog = _CfgKey(cfg_dog)
-    for _ in range(WARMUP):
-        td = _batched_pipeline(batch, plan_dog, ckey_dog)
-    _ = np.asarray(td.count())
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        td = _batched_pipeline(batch, plan_dog, ckey_dog)
-    dog_counts = np.asarray(td.count())   # fetch = honest sync (see above)
-    dog_fps = BATCH * ITERS / (time.perf_counter() - t0)
+    def time_cfg(cfg_v):
+        plan_v = make_plan(h, w, cfg_v)
+        ckey_v = _CfgKey(cfg_v)
+        for _ in range(WARMUP):
+            tv = _batched_pipeline(batch, plan_v, ckey_v)
+        _ = np.asarray(tv.count())
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            tv = _batched_pipeline(batch, plan_v, ckey_v)
+        cnt = np.asarray(tv.count())      # fetch = honest sync (see above)
+        return BATCH * ITERS / (time.perf_counter() - t0), int(cnt.mean())
+
+    dog_fps, dog_n = time_cfg(SiftConfig(detector="dog"))
+    # at default thresholds DoG finds ~3.2x more features (728 vs 230) and
+    # per-keypoint stage cost tracks the valid count, so dog_fps < fps is
+    # workload, not kernel structure; the MATCHED-workload number (t=0.028
+    # -> ~241 features) carries the structural-parity claim
+    # (docs/evidence/exp_dog_matched.txt)
+    cfg_dm = SiftConfig(detector="dog")
+    cfg_dm.threshold = 0.028
+    dog_m_fps, dog_m_n = time_cfg(cfg_dm)
 
     print(json.dumps({
         "metric": "640x480_detect_describe_frames_per_sec_per_chip",
@@ -103,7 +113,9 @@ def main():
         "vs_baseline": round(fps / REFERENCE_HZ, 2),
         "features_per_frame": n_feats,
         "dog_fps": round(dog_fps, 2),
-        "dog_features_per_frame": int(dog_counts.mean()),
+        "dog_features_per_frame": dog_n,
+        "dog_matched_fps": round(dog_m_fps, 2),
+        "dog_matched_features_per_frame": dog_m_n,
         "device": str(dev),
     }))
 

@@ -206,6 +206,8 @@ def reconstruct_sequence(
     merge_tracks: bool = False,
     keyframe_parallax_deg: float = 0.0,
     keyframe_max_gap: int = 8,
+    final_rounds: int = 1,
+    ba_loss: str = "cauchy",
 ) -> Optional[Reconstruction]:
     """Incremental SfM over an ordered list of per-image feature dicts
     (the output of HessianSift.run).
@@ -276,7 +278,8 @@ def reconstruct_sequence(
             guided_rematch=guided_rematch, extend_tracks=extend_tracks,
             merge_tracks=merge_tracks,
             keyframe_parallax_deg=keyframe_parallax_deg,
-            keyframe_max_gap=keyframe_max_gap)
+            keyframe_max_gap=keyframe_max_gap,
+            final_rounds=final_rounds, ba_loss=ba_loss)
 
     # ---- initialize from the first strong adjacent pair ------------------
     init_b = None
@@ -323,7 +326,8 @@ def reconstruct_sequence(
         guided_rematch=guided_rematch, extend_tracks=extend_tracks,
         merge_tracks=merge_tracks,
         keyframe_parallax_deg=keyframe_parallax_deg,
-        keyframe_max_gap=keyframe_max_gap)
+        keyframe_max_gap=keyframe_max_gap,
+        final_rounds=final_rounds, ba_loss=ba_loss)
 
 
 # reprojection gate (px) for track extension / merge association; kept
@@ -368,7 +372,9 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
                         extend_tracks=False,
                         merge_tracks=False,
                         keyframe_parallax_deg=0.0,
-                        keyframe_max_gap=8) -> Reconstruction:
+                        keyframe_max_gap=8,
+                        final_rounds=1,
+                        ba_loss="cauchy") -> Reconstruction:
     """Register views [start, n_img) into rec (lookback PnP; skip, don't
     break), then loop closure, re-triangulation, and the final BA. Shared
     by the fresh and checkpoint-resume paths of reconstruct_sequence."""
@@ -606,11 +612,16 @@ def _register_remaining(rec: Reconstruction, feature_sets, matches, K,
 
     # re-triangulate every track from ALL its observations before the
     # final BA (points born from one weak pair otherwise anchor BA in a
-    # bad basin - the sparse-detection failure mode)
-    _retriangulate(rec)
-    rec = run_global_ba(rec, iterations=ba_iterations,
-                        huber_delta=huber_delta, prune_threshold=4.0,
-                        mesh=mesh)
+    # bad basin - the sparse-detection failure mode). final_rounds > 1
+    # alternates retriangulation and global BA: after BA moves the
+    # poses, a DLT refit from the corrected geometry gives the next BA a
+    # better linearization point (classic resection/intersection
+    # alternation).
+    for _ in range(max(1, final_rounds)):
+        _retriangulate(rec)
+        rec = run_global_ba(rec, iterations=ba_iterations,
+                            huber_delta=huber_delta, prune_threshold=4.0,
+                            loss=ba_loss, mesh=mesh)
     return rec
 
 

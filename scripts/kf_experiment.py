@@ -3,7 +3,10 @@ on the 40-frame synthetic sequence, sweeping keyframe_parallax_deg.
 
 Features are detected once and cached to disk so each SfM setting reruns
 in seconds. Usage:
-    python scripts/kf_experiment.py [par_deg ...]     # default sweep
+    python scripts/kf_experiment.py [par_deg ...] [key=value ...]
+key=value args are forwarded to reconstruct_sequence (ints/floats/strings
+inferred), e.g.:
+    python scripts/kf_experiment.py 0.0 huber_delta=1.5 final_rounds=3
 """
 
 import os
@@ -63,11 +66,27 @@ def main():
     if MESH:
         from hessgpu_tpu.parallel.distributed import device_mesh
         mesh = device_mesh("obs", MESH)
-    sweep = [float(a) for a in sys.argv[1:]] or [0.0, 1.0, 1.5, 2.5, 4.0]
+    overrides = {}
+    pars = []
+    for a in sys.argv[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            try:
+                overrides[k] = int(v)
+            except ValueError:
+                try:
+                    overrides[k] = float(v)
+                except ValueError:
+                    overrides[k] = v
+        else:
+            pars.append(float(a))
+    sweep = pars or [0.0, 1.0, 1.5, 2.5, 4.0]
+    if overrides:
+        print("overrides:", overrides, flush=True)
     for par in sweep:
         t0 = time.time()
         rec = reconstruct_sequence(feats, meta["K"], mesh=mesh,
-                                   keyframe_parallax_deg=par)
+                                   keyframe_parallax_deg=par, **overrides)
         if rec is None:
             print(f"par={par}: FAILED")
             continue
