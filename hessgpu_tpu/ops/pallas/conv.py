@@ -148,28 +148,45 @@ def octave_chain_pallas(base: jnp.ndarray,
     # brh=224, wp=896, Mosaic reported 16.10 MB = stack ~17 canvas
     # temporaries + buf 0.77 MB + acc 2.39 MB), with a real margin:
     # detect_pad shapes must fit 13 MB (~80% of the limit) or drop a
-    # block size. The unpadded chain keeps the blocking that compiled
-    # and ran for rounds 3-4 (coefficient 14, 14.5 MB cap - its 640/1024
-    # shapes measured well under the limit) but now counts scratch too.
-    coeff, cap = (17, 13 * 1024 * 1024) if detect_pad else \
-                 (14, int(14.5 * 1024 * 1024))
-    for br0 in (128, 64, 32, 16):
-        brh0 = br0 + halo
-        emit0 = (br0 + 8) if detect_pad else br0
-        est = (coeff * brh0 * wp          # Mosaic vmem stack (live temps)
-               + brh0 * wp                # declared scratch: buf
-               + L * emit0 * wemit) * 4   # declared scratch: acc
-        if est <= cap:
-            break
-    else:
-        if detect_pad:
-            # no competitive detect_pad blocking fits: run the fused
-            # unpadded chain instead (one kernel, tight layout) and let
-            # the caller edge-pad for the detect kernel the old way
+    # block size. The unpadded chain's coefficients (15, 15.5 MB) are
+    # chosen to reproduce every blocking that compiled AND ran across
+    # rounds 3-4 (640@128, 1024@64, 2048@16) while still counting the
+    # declared scratch.
+    def _choose_br(coeff, cap_b, pad_mode):
+        halo_m = (2 * (R + 4) + 2 + 7) // 8 * 8 if pad_mode \
+            else (2 * R + 7) // 8 * 8
+        wo_m = (w + 127) // 128 * 128
+        if pad_mode:
+            wemit_m = (max(w, wo_m) + 2 + 2 + 127) // 128 * 128
+            wp_m = (wemit_m + 2 + 2 * (R + 4) + 127) // 128 * 128
+        else:
+            wemit_m = wo_m
+            wp_m = (wo_m + 2 * R + 127) // 128 * 128
+        for b0 in (128, 64, 32, 16):
+            brh0 = b0 + halo_m
+            emit0 = (b0 + 8) if pad_mode else b0
+            est = (coeff * brh0 * wp_m       # Mosaic stack (live temps)
+                   + brh0 * wp_m             # declared scratch: buf
+                   + L * emit0 * wemit_m) * 4  # declared scratch: acc
+            if est <= cap_b:
+                return b0
+        return 0
+
+    if detect_pad:
+        br0 = _choose_br(17, 13 * 1024 * 1024, True)
+        # detect_pad only saves the inter-kernel jnp.pad (~0.27 ms/batch
+        # at B=16); a shrunken row block costs more than that in halo
+        # recompute (measured: oct0 640x480 detect_pad@64 = 2.21 ms vs
+        # unpadded@128 + pad = 1.37 + 0.27 ms). Prefer the unpadded
+        # chain whenever it sustains a larger block.
+        if br0 == 0 or br0 < _choose_br(15, int(15.5 * 1024 * 1024), False):
             return octave_chain_pallas(
                 base if batched else base[0],
                 taps_list, interpret=interpret, detect_pad=False), False
-        return _fallback_unpadded()
+    else:
+        br0 = _choose_br(15, int(15.5 * 1024 * 1024), False)
+        if br0 == 0:
+            return _fallback_unpadded()
     nblk = pl.cdiv(h, br0)
     if detect_pad:
         # full br0-multiple tiling (not the tight re-fit below): the
