@@ -197,7 +197,12 @@ def reconstruct_sequence(
     lookback: int = 3,
     loop_closure: bool = True,
     loop_gap: int = 8,
-    huber_delta: float = 3.0,
+    # robust-loss scale (px) for the periodic and final BAs. 1.5 px
+    # measured ATE 0.0015 vs 0.1033 at the round-2 default of 3.0 on the
+    # 100-frame/3-pass default-threshold sequence (docs/evidence/
+    # kf_r5.txt) - at 3.0 px the Cauchy weights leave mismatched tracks
+    # enough influence to bend the whole trajectory
+    huber_delta: float = 1.5,
     mesh=None,
     verbose: bool = False,
     resume: Optional[Reconstruction] = None,
