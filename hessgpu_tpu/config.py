@@ -77,6 +77,17 @@ class SiftConfig:
     binary_sift: int = 0                 # 0 text, 1 -b, 2 -bvlf
     darkness_adaption: bool = False      # -da
 
+    # EXPERIMENTAL: store the per-keypoint gradient/rotation canvas in
+    # bfloat16 on the kernel path (halves canvas writes and window-DMA
+    # reads; math stays f32 on the unpacked windows; storage quantization
+    # ~0.4% - below the reference's own uint8 descriptor quantization,
+    # SiftMatchCU.cpp:87-101). Default OFF: the one on-chip measurement
+    # (640x480 B=16) read 628 fps vs 765 for f32 with much longer
+    # compiles - the f32->bf16 packed stores in the detect kernel appear
+    # to cost more than the bandwidth they save. Kept as a measured,
+    # tested option (tests/test_pallas_patch.py::test_*_bf16_stack).
+    canvas_bf16: bool = False
+
     # ---- execution ----
     use_pallas: bool = True              # Pallas kernels on TPU; jnp fallback
     conv_mode: str = "chain"             # "chain" (reference parity) | "direct"

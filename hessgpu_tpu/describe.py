@@ -104,7 +104,8 @@ def _describe_all_pallas(img, x, y, sigma, theta, valid, level_id,
             rots.append(rot[kl])
 
     pad = (max(owin, dwin) - 1) // 2 + 2
-    pstack = build_padded_stack(grads, rots, pad)
+    cdt = jnp.bfloat16 if cfg.canvas_bf16 else jnp.float32
+    pstack = build_padded_stack(grads, rots, pad, dtype=cdt)
 
     if not skip_orientation:
         o_thetas, _ = orientation_pallas(

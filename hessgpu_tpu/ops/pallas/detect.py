@@ -284,8 +284,10 @@ def detect_octave_pallas(
         plane0 = 0
 
     create_canvas = False
+    cdt = jnp.float32
     if canvas is not None:
         gradc, rotc, plane_ids, dros, dcos, P = canvas
+        cdt = gradc.dtype   # canvas dtype (f32 or bf16 storage)
         create_canvas = not isinstance(gradc, jnp.ndarray)
         plane_ids = [int(v) for v in plane_ids]
         dros = [int(v) for v in dros]
@@ -517,8 +519,8 @@ def detect_octave_pallas(
                 grad_ref[0, li, :, :] = mag
                 rot_ref[0, li, :, :] = rotv
             else:
-                gscr[li, :, :] = mag
-                rscr[li, :, :] = rotv
+                gscr[li, :, :] = mag.astype(cdt)
+                rscr[li, :, :] = rotv.astype(cdt)
 
         if canvas is not None:
             # one DMA per level/map straight into the canvas cell (started
@@ -578,8 +580,8 @@ def detect_octave_pallas(
                             + [pl.BlockSpec(memory_space=pl.ANY)] * 2),
             scratch_shapes=[
                 pltpu.VMEM((NP, BRH, Wp), jnp.float32),
-                pltpu.VMEM((NK, BRD, Wc), jnp.float32),
-                pltpu.VMEM((NK, BRD, Wc), jnp.float32),
+                pltpu.VMEM((NK, BRD, Wc), cdt),
+                pltpu.VMEM((NK, BRD, Wc), cdt),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((NK, 2)),
             ],

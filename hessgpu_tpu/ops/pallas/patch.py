@@ -44,9 +44,16 @@ def _lroll(a, shift: int):
     return pltpu.roll(a, shift % a.shape[-1], a.ndim - 1)
 
 
-def _window_dims(wsize: int):
-    """Aligned scratch dims covering a wsize window at any aligned origin."""
-    rows = (wsize + 7) // 8 * 8 + 8
+def _sub(dtype) -> int:
+    """Sublane tile of the canvas dtype: DMA row origins must be
+    multiples of it (8 for f32, 16 for bf16's (16, 128) tiles)."""
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
+def _window_dims(wsize: int, sub: int = 8):
+    """Aligned scratch dims covering a wsize window at any origin
+    aligned to `sub` rows / 128 cols."""
+    rows = (wsize + sub - 1) // sub * sub + sub
     cols = (wsize + 127) // 128 * 128 + 128
     return rows, cols
 
@@ -82,19 +89,24 @@ class PackingPlan:
     matters (only that it is finite).
     """
 
-    def __init__(self, shapes: Sequence[tuple], pad: int):
+    def __init__(self, shapes: Sequence[tuple], pad: int,
+                 dtype=jnp.float32):
         L = len(shapes)
-        pad8 = (pad + 7) // 8 * 8
+        # row grid follows the canvas dtype's sublane tile (8 for f32,
+        # 16 for bf16) so cell origins are tile-aligned for DMAs
+        sub = _sub(dtype)
+        pad8 = (pad + sub - 1) // sub * sub
         # left margin must cover the window radius (reads start at
         # dco + kx - r, r <= pad) AND stay a multiple of 128 so the
         # detect kernel's canvas DMA origins are lane-aligned
         pad128 = max(128, (pad + 127) // 128 * 128)
         cells = []
         for (h, w) in shapes:
-            # rows: data at pad8, detect writes overshoot <= 31 rows,
-            # window reads reach ~pad below the data; cols: data at
-            # pad128, writes overshoot < 128, window reads reach ~pad + 256
-            ch = (h + pad8 + pad + 40 + 7) // 8 * 8
+            # rows: data at pad8 (tile-aligned), detect writes
+            # overshoot <= 63 rows (row blocks up to 64), window reads
+            # round down < sub and reach ~pad below the data; cols: data
+            # at pad128, writes overshoot < 128, reads reach ~pad + 256
+            ch = (h + pad8 + pad + 64 + sub - 1) // sub * sub
             cw = (w + pad128 + pad + 256 + 127) // 128 * 128
             cells.append((ch, cw))
         # plane size = the largest cell (in the pipeline that is always
@@ -169,7 +181,8 @@ class PackingPlan:
 
 
 def build_padded_stack(grads: Sequence[jnp.ndarray],
-                       rots: Sequence[jnp.ndarray], pad: int) -> PackedStack:
+                       rots: Sequence[jnp.ndarray], pad: int,
+                       dtype=jnp.float32) -> PackedStack:
     """Pack per-level maps into shared canvas planes -> PackedStack.
 
     jnp pad/concat canvas builder for the CPU/fallback path (the TPU
@@ -182,7 +195,8 @@ def build_padded_stack(grads: Sequence[jnp.ndarray],
     """
     L = len(grads)
     batched = grads[0].ndim == 3
-    plan = PackingPlan([(g.shape[-2], g.shape[-1]) for g in grads], pad)
+    plan = PackingPlan([(g.shape[-2], g.shape[-1]) for g in grads], pad,
+                       dtype=dtype)
     cells = plan.cells
     Hp, Wp = plan.Hp, plan.Wp
     plane_shelves = plan.plane_shelves
@@ -200,7 +214,7 @@ def build_padded_stack(grads: Sequence[jnp.ndarray],
                 row_cells = []
                 used_w = 0
                 for i in idxs:
-                    a = levels[i]
+                    a = levels[i].astype(dtype)
                     h, w = a.shape[-2], a.shape[-1]
                     ch, cw = cells[i]
                     spec = ((0, 0),) * (a.ndim - 2) + (
@@ -233,7 +247,7 @@ def build_padded_stack(grads: Sequence[jnp.ndarray],
     return PackedStack(gs, rs, *plan.tables(B))
 
 
-def _aligned_origin(ky, kx, r, pad, roff=0, coff=0):
+def _aligned_origin(ky, kx, r, pad, roff=0, coff=0, sub=8):
     """Tile-aligned DMA origin for a window of radius r around (ky, kx).
 
     roff/coff: the level's cell origin inside its canvas plane (multiples
@@ -245,21 +259,21 @@ def _aligned_origin(ky, kx, r, pad, roff=0, coff=0):
     x0 = jnp.floor(kx).astype(jnp.int32) - r
     srow = y0 + pad + roff
     scol = x0 + pad + coff
-    srow_a = pl.multiple_of(srow - jnp.remainder(srow, 8), 8)
+    srow_a = pl.multiple_of(srow - jnp.remainder(srow, sub), sub)
     scol_a = pl.multiple_of(scol - jnp.remainder(scol, 128), 128)
     y0f = (srow_a - pad - roff).astype(jnp.float32)
     x0f = (scol_a - pad - coff).astype(jnp.float32)
     return srow_a, scol_a, y0f, x0f
 
 
-def _compute_dims(wsize: int):
+def _compute_dims(wsize: int, sub: int = 8):
     """Post-DMA compute dims: the DMA scratch must be (8, 128)-aligned at
     any origin (_window_dims), but once the window is in VMEM a dynamic
     roll can move the support to the corner and the math can run on the
     minimal aligned extent - (96, 128) instead of (104, 256) for a 91-px
     window, ~2.9x fewer VPU ops in the per-keypoint stages."""
-    rows, cols = _window_dims(wsize)
-    crows = (wsize + 7) // 8 * 8
+    rows, cols = _window_dims(wsize, sub)
+    crows = (wsize + sub - 1) // sub * sub
     ccols = 128 if wsize <= 128 else cols
     return (crows, ccols) if (crows, ccols) != (rows, cols) else None
 
@@ -267,7 +281,7 @@ def _compute_dims(wsize: int):
 def _corner_window(win, r0, c0, cdims):
     """Roll the support to the scratch's corner and slice to cdims.
 
-    r0 in [0, 8) / c0 in [0, 128) are the deltas the DMA origin was
+    r0 in [0, sub) / c0 in [0, 128) are the deltas the DMA origin was
     rounded down by; the returned (crows, ccols) view's [0, 0] is the
     window's true (unaligned) origin, so the caller must offset y0f/x0f
     by r0/c0.
@@ -429,9 +443,10 @@ def descriptor_pallas(
         valid = jnp.pad(valid, (0, padk))
         level_id = jnp.pad(level_id, (0, padk))
     G = G0 + padk
-    rows, cols = _window_dims(wsize)
+    sub = _sub(stack.grad.dtype)
+    rows, cols = _window_dims(wsize, sub)
     r = (wsize - 1) // 2
-    cdims = _compute_dims(wsize)
+    cdims = _compute_dims(wsize, sub)
 
     # host-side activity masks: the kernel's scalar core paid ~0.1 us per
     # INVALID slot just loading 8 valids and OR-ing them per group (3.7 ms
@@ -449,7 +464,7 @@ def descriptor_pallas(
         def copies(i, k):
             lvl = lvls[k]
             srow, scol, _, _ = _aligned_origin(ys[k], xs[k], r, pad,
-                                               roff[lvl], coff[lvl])
+                                               roff[lvl], coff[lvl], sub)
             pi = pln[lvl]
             return (
                 pltpu.make_async_copy(
@@ -494,14 +509,17 @@ def descriptor_pallas(
                         th = ths[k]
                         lvl = lvls[k]
                         _, _, y0f, x0f = _aligned_origin(
-                            ky, kx, r, pad, roff[lvl], coff[lvl])
+                            ky, kx, r, pad, roff[lvl], coff[lvl], sub)
 
                         cp_g, cp_r = copies(i, k)
                         cp_g.wait()
                         cp_r.wait()
 
-                        gw = gwin[i]
-                        rw = rwin[i]
+                        # unpack bf16 canvas windows to f32 BEFORE the
+                        # corner roll (Mosaic dynamic_rotate is 32-bit
+                        # only); math below is f32 either way
+                        gw = gwin[i].astype(jnp.float32)
+                        rw = rwin[i].astype(jnp.float32)
                         if cdims is not None:
                             # roll the support to the corner: compute on
                             # (crows, 128) instead of the aligned DMA
@@ -555,8 +573,8 @@ def descriptor_pallas(
                    pl.BlockSpec((BKP, 128), lambda k, *_: (k, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((BK, rows, cols), jnp.float32),
-            pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.VMEM((BK, rows, cols), stack.grad.dtype),
+            pltpu.VMEM((BK, rows, cols), stack.grad.dtype),
             (pltpu.VMEM((BK, 16, 8), jnp.float32) if mxu else
              pltpu.VMEM((BK, 128), jnp.float32)),
             pltpu.SemaphoreType.DMA((BK, 2)),
@@ -617,15 +635,16 @@ def orientation_pallas(
         valid = jnp.pad(valid, (0, padk))
         level_id = jnp.pad(level_id, (0, padk))
     G = G0 + padk
-    rows, cols = _window_dims(wsize)
+    sub = _sub(stack.grad.dtype)
+    rows, cols = _window_dims(wsize, sub)
     r = (wsize - 1) // 2
-    cdims = _compute_dims(wsize)
+    cdims = _compute_dims(wsize, sub)
 
     def _window_copies(i, k, xs, ys, lvls, pln, roff, coff,
                        grad_hbm, rot_hbm, gwin, rwin, sems):
         lvl = lvls[k]
         srow, scol, _, _ = _aligned_origin(ys[k], xs[k], r, pad,
-                                           roff[lvl], coff[lvl])
+                                           roff[lvl], coff[lvl], sub)
         pi = pln[lvl]
         return (
             pltpu.make_async_copy(
@@ -650,7 +669,7 @@ def orientation_pallas(
             sig = sigs[k]
             lvl = lvls[k]
             _, _, y0f, x0f = _aligned_origin(ky, kx, r, pad,
-                                             roff[lvl], coff[lvl])
+                                             roff[lvl], coff[lvl], sub)
 
             cp_g, cp_r = _window_copies(i, k, xs, ys, lvls, pln, roff, coff,
                                         grad_hbm, rot_hbm, gwin, rwin, sems)
@@ -660,8 +679,8 @@ def orientation_pallas(
             h = lh[lvl].astype(jnp.float32)
             w = lw[lvl].astype(jnp.float32)
 
-            gw = gwin[i]
-            rw = rwin[i]
+            gw = gwin[i].astype(jnp.float32)   # bf16 canvas -> f32 math
+            rw = rwin[i].astype(jnp.float32)   # (rolls are 32-bit only)
             if cdims is not None:
                 # roll the support to the corner: the histogram runs on
                 # (crows, 128) instead of the aligned DMA extent
@@ -862,8 +881,8 @@ def orientation_pallas(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((BK, rows, cols), jnp.float32),
-            pltpu.VMEM((BK, rows, cols), jnp.float32),
+            pltpu.VMEM((BK, rows, cols), stack.grad.dtype),
+            pltpu.VMEM((BK, rows, cols), stack.grad.dtype),
             pltpu.VMEM((BK, 128), jnp.float32),
             pltpu.VMEM((BK, 4), jnp.float32),
             pltpu.VMEM((BK, 4), jnp.int32),

@@ -248,8 +248,10 @@ def _orient_describe_pallas_all(per_level, cfg, halo: int, owin: int,
     TWO_PI = 2.0 * np.pi
     L = len(per_level)
     cap = per_level[0][0].x.shape[0]
+    cdt = jnp.bfloat16 if cfg.canvas_bf16 else jnp.float32
     pstack = build_padded_stack([t[1] for t in per_level],
-                                [t[2] for t in per_level], halo)
+                                [t[2] for t in per_level], halo,
+                                dtype=cdt)
     offs = jnp.stack([jnp.asarray(t[3], jnp.int32) for t in per_level])
     hos = jnp.asarray([t[5] for t in per_level], jnp.int32)
     pstack = PackedStack(pstack.grad, pstack.rot, pstack.plane,

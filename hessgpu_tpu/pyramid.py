@@ -373,7 +373,7 @@ def _level_trunc_mask(table: GlobalTable, k: int, num_levels: int,
 
 
 def _canvas_setup(oct_shapes, nkey: int, pad: int,
-                  batch: Optional[int] = None):
+                  batch: Optional[int] = None, dtype=jnp.float32):
     """PackingPlan + canvas descriptors for the detect kernel's direct
     writes (shared by the single and batched pipelines).
 
@@ -391,10 +391,9 @@ def _canvas_setup(oct_shapes, nkey: int, pad: int,
     shapes = []
     for hw in oct_shapes:
         shapes += [tuple(hw)] * nkey
-    pplan = PackingPlan(shapes, pad)
+    pplan = PackingPlan(shapes, pad, dtype=dtype)
     n_planes = pplan.num_planes * (1 if batch is None else batch)
-    gradc = jax.ShapeDtypeStruct((n_planes, pplan.Hp, pplan.Wp),
-                                 jnp.float32)
+    gradc = jax.ShapeDtypeStruct((n_planes, pplan.Hp, pplan.Wp), dtype)
     return pplan, gradc, gradc
 
 
@@ -434,8 +433,10 @@ def _place_maps_in_canvas(pplan, o: int, nkey: int, grad, rot, gradc, rotc,
         for li in range(nkey):
             l = o * nkey + li
             org = (pplan.plane_of[l], pplan.dro[l], pplan.dco[l])
-            gradc = jax.lax.dynamic_update_slice(gradc, grad[li][None], org)
-            rotc = jax.lax.dynamic_update_slice(rotc, rot[li][None], org)
+            gradc = jax.lax.dynamic_update_slice(
+                gradc, grad[li][None].astype(gradc.dtype), org)
+            rotc = jax.lax.dynamic_update_slice(
+                rotc, rot[li][None].astype(rotc.dtype), org)
         return gradc, rotc
     P = pplan.num_planes
     g4 = gradc.reshape(batch, P, pplan.Hp, pplan.Wp)
@@ -443,7 +444,8 @@ def _place_maps_in_canvas(pplan, o: int, nkey: int, grad, rot, gradc, rotc,
     for li in range(nkey):
         l = o * nkey + li
         org = (pplan.plane_of[l], pplan.dro[l], pplan.dco[l])
-        dus = lambda c, g: jax.lax.dynamic_update_slice(c, g[None], org)
+        dus = lambda c, g: jax.lax.dynamic_update_slice(
+            c, g[None].astype(c.dtype), org)
         g4 = jax.vmap(dus)(g4, grad[:, li])
         r4 = jax.vmap(dus)(r4, rot[:, li])
     return (g4.reshape(batch * P, pplan.Hp, pplan.Wp),
@@ -493,9 +495,11 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
     # the PackedStack canvas (see run_pipeline_batched); both detector
     # personalities share the kernel (detector= selects the response)
     use_canvas = use_pallas
+    cdt = jnp.bfloat16 if cfg.canvas_bf16 else jnp.float32
     if use_canvas:
         from .ops.pallas.patch import PackedStack
-        pplan, gradc, rotc = _canvas_setup(plan.octave_shapes, NKEY, pad)
+        pplan, gradc, rotc = _canvas_setup(plan.octave_shapes, NKEY, pad,
+                                           dtype=cdt)
 
     # ---- detection + per-level compaction (cheap scatters) -------------------
     # packed lists + deferred payload pickup (see _globalize_packed)
@@ -606,7 +610,7 @@ def run_pipeline(img: jnp.ndarray, plan: PipelinePlan, cfg: SiftConfig) -> Featu
             if use_canvas:
                 pstack = PackedStack(gradc, rotc, *pplan.tables())
             else:
-                pstack = build_padded_stack(grads, rots, pad)
+                pstack = build_padded_stack(grads, rots, pad, dtype=cdt)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 
@@ -774,8 +778,9 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
     # intermediates, no pad/concat canvas build - that copy pass cost
     # ~2 ms/batch at B=16)
     use_canvas = True
+    cdt = jnp.bfloat16 if cfg.canvas_bf16 else jnp.float32
     pplan, gradc, rotc = _canvas_setup(plan.octave_shapes, NKEY, pad,
-                                       batch=B)
+                                       batch=B, dtype=cdt)
 
     # packed lists + deferred payload pickup (see _globalize_packed)
     use_packed = use_canvas and all(
@@ -869,7 +874,7 @@ def run_pipeline_batched(imgs: jnp.ndarray, plan: PipelinePlan,
         if use_canvas:
             pstack = PackedStack(gradc, rotc, *pplan.tables(B))
         else:
-            pstack = build_padded_stack(grads, rots, pad)
+            pstack = build_padded_stack(grads, rots, pad, dtype=cdt)
 
     single = cfg.max_orientations <= 1 or cfg.fixed_orientation
 

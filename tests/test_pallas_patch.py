@@ -128,3 +128,54 @@ def test_descriptor_mxu_matches_vpu(scene):
     v = np.asarray(valid).astype(bool)
     np.testing.assert_allclose(np.asarray(d1)[v], np.asarray(d0)[v],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_descriptor_pallas_bf16_stack(scene):
+    """bf16 canvas storage (cfg.canvas_bf16): the kernel must equal the
+    jnp reference computed on identically bf16-quantized grad/rot maps -
+    storage quantization is the ONLY difference, math stays f32."""
+    grads, rots, kx, ky, ks, kt, lid, valid = scene
+    wsize = descriptor_window_size(float(ks.max()))
+    pad = (wsize - 1) // 2 + 1
+    ps = build_padded_stack(grads, rots, pad, dtype=jnp.bfloat16)
+    assert ps.grad.dtype == jnp.bfloat16
+
+    got = np.asarray(descriptor_pallas(
+        jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks), jnp.asarray(kt),
+        jnp.asarray(valid), jnp.asarray(lid), ps,
+        wsize=wsize, pad=pad, interpret=True))
+
+    q = lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)
+    for i in range(len(kx)):
+        if not valid[i]:
+            continue
+        want = np.asarray(compute_descriptors(
+            jnp.asarray(kx[i:i + 1]), jnp.asarray(ky[i:i + 1]),
+            jnp.asarray(ks[i:i + 1]), jnp.asarray(kt[i:i + 1]),
+            jnp.ones(1, bool), q(grads[lid[i]]), q(rots[lid[i]]),
+            wsize=min(wsize, *grads[lid[i]].shape), normalize=False))[0]
+        np.testing.assert_allclose(got[i], want, atol=2e-3,
+                                   err_msg=f"keypoint {i}")
+
+
+def test_orientation_pallas_bf16_stack(scene):
+    grads, rots, kx, ky, ks, kt, lid, valid = scene
+    wsize = 2 * int(np.ceil(ks.max() * 1.5 * 2.0 + 1)) + 1
+    pad = (wsize - 1) // 2 + 1
+    ps = build_padded_stack(grads, rots, pad, dtype=jnp.bfloat16)
+    thetas, ovalid = orientation_pallas(
+        jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
+        jnp.asarray(valid), jnp.asarray(lid), ps,
+        wsize=wsize, pad=pad, single=True, interpret=True)
+    q = lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)
+    for i in range(len(kx)):
+        if not valid[i]:
+            continue
+        want = compute_orientations(
+            jnp.asarray(kx[i:i + 1]), jnp.asarray(ky[i:i + 1]),
+            jnp.asarray(ks[i:i + 1]), jnp.ones(1, bool),
+            q(grads[lid[i]]), q(rots[lid[i]]),
+            wsize=min(wsize, *grads[lid[i]].shape), single=True)
+        np.testing.assert_allclose(
+            np.asarray(thetas)[i, 0], float(want.thetas[0, 0]),
+            atol=1e-4, err_msg=f"kp {i}")
