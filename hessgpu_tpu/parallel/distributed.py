@@ -105,7 +105,7 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
 
     n2 = d2.shape[0]
     if n2_tile is None and nloc * n2 * 4 > 256 * 1024 * 1024:
-        n2_tile = 8192
+        n2_tile = 16384
     if n2_tile is not None:
         n2_tile = min(n2_tile, n2)
         n2p = -(-n2 // n2_tile) * n2_tile
@@ -130,17 +130,18 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
                              -1.0 if guided else 0.0)
         return dots
 
-    def _row_col_stats(dots, col0, shard):
+    def _row_col_stats(dots, col0, shard, row0=0):
         # row side: argmax/max/2nd within these columns
         ri = jnp.argmax(dots, axis=1) + col0
         rv = jnp.max(dots, axis=1)
         onehot = jax.nn.one_hot(ri - col0, dots.shape[1], dtype=jnp.bool_,
                                 axis=1)
         rn = jnp.max(jnp.where(onehot, -jnp.inf, dots), axis=1)
-        # column side: these columns' final local stats
+        # column side: these columns' final local stats (row0 = this row
+        # tile's offset within the shard, map-scale mode)
         cv = jnp.max(dots, axis=0)
         ci_local = jnp.argmax(dots, axis=0)
-        ci = ci_local + shard * nloc
+        ci = ci_local + shard * nloc + row0
         oh = jax.nn.one_hot(ci_local, dots.shape[0], dtype=jnp.bool_,
                             axis=0)
         cn = jnp.max(jnp.where(oh, -jnp.inf, dots), axis=0)
@@ -157,32 +158,78 @@ def match_sharded(d1: jnp.ndarray, d2: jnp.ndarray, mesh: Mesh,
             d2t = d2r.reshape(ntile, n2_tile, -1)
             l2t = l2r.reshape(ntile, n2_tile, -1) if guided else \
                 jnp.zeros((ntile, 1, 1))
+            # row tiling bounds the live block to (n1_tile, n2_tile):
+            # a single (nloc, n2_tile) step at nloc=65536 is a ~2.6 GB
+            # working set whose wall time proved pathologically
+            # runtime-sensitive (4-200 s for the same program); bounded
+            # 8192^2 steps behave like every other kernel here. Column
+            # stats merge across row tiles with the same exact top-2
+            # merge the column-tile scan uses.
+            # measured cliff (65536^2 u8 table, one v5e): tile 8192 ->
+            # 21.5 s, 16384 -> 6.8 s, 32768 -> 240 s (the f32 dot block
+            # + its top-2 masks past ~1-4 GB thrash the HBM allocator),
+            # so the row tile clamps at 16384 even for larger n2_tile
+            n1_tile = min(n2_tile, nloc, 16384)
+            nrt = -(-nloc // n1_tile)
+            nlocp = nrt * n1_tile
+            d1p = jnp.pad(d1s, ((0, nlocp - nloc), (0, 0)))
+            d1t = d1p.reshape(nrt, n1_tile, -1)
+            if guided:
+                l1p = jnp.pad(l1s, ((0, nlocp - nloc), (0, 0)))
+                l1t = l1p.reshape(nrt, n1_tile, -1)
+            else:
+                l1t = jnp.zeros((nrt, 1, 1))
+            n2p = ntile * n2_tile
 
-            def step(carry, xs):
-                v1, i1, v2 = carry
-                dt, lt, ti = xs
-                col0 = ti * n2_tile
-                dots = _tile_dots(d1s, dt, l1s,
-                                  lt if guided else None, col0)
-                tri, trv, trn, tcv, tci, tcn = _row_col_stats(
-                    dots, col0, shard)
-                # exact running top-2 merge: the global second is either
-                # the loser of the two firsts or one of the seconds
-                nv1 = jnp.maximum(v1, trv)
-                ni1 = jnp.where(trv > v1, tri, i1)   # ties keep earlier
-                nv2 = jnp.maximum(jnp.minimum(v1, trv),
-                                  jnp.maximum(v2, trn))
-                return (nv1, ni1, nv2), (tcv, tci, tcn)
+            def row_tile(carry, xs):
+                cv0, ci0, cn0 = carry              # (n2p,) running stats
+                d1b, l1b, rt = xs
+                row00 = rt * n1_tile
 
-            init = (jnp.full((nloc,), -jnp.inf, jnp.float32),
-                    jnp.zeros((nloc,), jnp.int32),
-                    jnp.full((nloc,), -jnp.inf, jnp.float32))
-            (rv, ri, rn), (cvs, cis, cns) = jax.lax.scan(
-                step, init,
-                (d2t, l2t, jnp.arange(ntile, dtype=jnp.int32)))
-            cv = cvs.reshape(-1)[:n2]
-            ci = cis.reshape(-1)[:n2]
-            cn = cns.reshape(-1)[:n2]
+                def step(c2, xs2):
+                    v1, i1, v2 = c2
+                    dt, lt, ti = xs2
+                    col0 = ti * n2_tile
+                    dots = _tile_dots(d1b, dt,
+                                      l1b if guided else None,
+                                      lt if guided else None, col0)
+                    tri, trv, trn, tcv, tci, tcn = _row_col_stats(
+                        dots, col0, shard, row00)
+                    # exact running top-2 merge: the global second is
+                    # either the loser of the two firsts or a second
+                    nv1 = jnp.maximum(v1, trv)
+                    ni1 = jnp.where(trv > v1, tri, i1)  # ties keep first
+                    nv2 = jnp.maximum(jnp.minimum(v1, trv),
+                                      jnp.maximum(v2, trn))
+                    return (nv1, ni1, nv2), (tcv, tci, tcn)
+
+                init2 = (jnp.full((n1_tile,), -jnp.inf, jnp.float32),
+                         jnp.zeros((n1_tile,), jnp.int32),
+                         jnp.full((n1_tile,), -jnp.inf, jnp.float32))
+                (rv, ri, rn), (cvs, cis, cns) = jax.lax.scan(
+                    step, init2,
+                    (d2t, l2t, jnp.arange(ntile, dtype=jnp.int32)))
+                tcv = cvs.reshape(-1)
+                tci = cis.reshape(-1)
+                tcn = cns.reshape(-1)
+                ncv = jnp.maximum(cv0, tcv)
+                nci = jnp.where(tcv > cv0, tci, ci0)
+                ncn = jnp.maximum(jnp.minimum(cv0, tcv),
+                                  jnp.maximum(cn0, tcn))
+                return (ncv, nci, ncn), (rv, ri, rn)
+
+            init = (jnp.full((n2p,), -jnp.inf, jnp.float32),
+                    jnp.zeros((n2p,), jnp.int32),
+                    jnp.full((n2p,), -jnp.inf, jnp.float32))
+            (cvp, cip, cnp_), (rvs, ris, rns) = jax.lax.scan(
+                row_tile, init,
+                (d1t, l1t, jnp.arange(nrt, dtype=jnp.int32)))
+            rv = rvs.reshape(-1)[:nloc]
+            ri = ris.reshape(-1)[:nloc]
+            rn = rns.reshape(-1)[:nloc]
+            cv = cvp[:n2]
+            ci = cip[:n2]
+            cn = cnp_[:n2]
 
         def accept(bv, nv):
             dist = jnp.arccos(jnp.minimum(bv * INV_512_SQ, 1.0))

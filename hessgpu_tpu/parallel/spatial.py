@@ -264,19 +264,36 @@ def _orient_describe_pallas_all(per_level, cfg, halo: int, owin: int,
     kv = jnp.concatenate([t[0].valid for t in per_level])
     lid = jnp.repeat(jnp.arange(L, dtype=jnp.int32), cap)
 
+    _MAX_TABLE = 32768   # SMEM prefetch-table budget (see pyramid.py)
+
+    def _chunked(kernel_fn, tables, n_out):
+        n = tables[0].shape[0]
+        nch = -(-n // _MAX_TABLE)
+        if nch <= 1:
+            return kernel_fn(*tables)
+        csz = -(-n // nch)
+        outs = [kernel_fn(*(t[i * csz:(i + 1) * csz] for t in tables))
+                for i in range(nch)]
+        if n_out == 1:
+            return jnp.concatenate(outs)
+        return tuple(jnp.concatenate([o[j] for o in outs])
+                     for j in range(n_out))
+
     if cfg.fixed_orientation:
         thetas = jnp.zeros((L * cap, MO))
         tvalid = jnp.zeros((L * cap, MO), bool).at[:, 0].set(True)
     else:
-        thetas, tvalid = orientation_pallas(
-            kx, ky, ks, kv, lid, pstack,
-            wsize=owin, pad=halo,
-            gaussian_factor=cfg.orientation_gaussian_factor,
-            window_factor=cfg.orientation_window_factor,
-            peak_threshold=cfg.multi_orientation_threshold,
-            half_sift=cfg.half_sift, single=single,
-            max_peaks=cfg.max_orientations,
-            interpret=interpret)
+        thetas, tvalid = _chunked(
+            lambda x_, y_, s_, v_, l_: orientation_pallas(
+                x_, y_, s_, v_, l_, pstack,
+                wsize=owin, pad=halo,
+                gaussian_factor=cfg.orientation_gaussian_factor,
+                window_factor=cfg.orientation_window_factor,
+                peak_threshold=cfg.multi_orientation_threshold,
+                half_sift=cfg.half_sift, single=single,
+                max_peaks=cfg.max_orientations,
+                interpret=interpret),
+            (kx, ky, ks, kv, lid), 2)
         thetas = thetas[:, :MO]
         tvalid = tvalid[:, :MO]
 
@@ -285,11 +302,13 @@ def _orient_describe_pallas_all(per_level, cfg, halo: int, owin: int,
     th_flat = thetas.reshape(-1)
 
     if cfg.compute_descriptors:
-        desc = descriptor_pallas(
-            rep(kx), rep(ky), rep(ks), th_flat, vslot, rep(lid), pstack,
-            wsize=dwin, pad=halo,
-            window_factor=cfg.descriptor_window_factor,
-            mxu=True, interpret=interpret)
+        desc = _chunked(
+            lambda x_, y_, s_, t_, v_, l_: descriptor_pallas(
+                x_, y_, s_, t_, v_, l_, pstack,
+                wsize=dwin, pad=halo,
+                window_factor=cfg.descriptor_window_factor,
+                mxu=True, interpret=interpret),
+            (rep(kx), rep(ky), rep(ks), th_flat, vslot, rep(lid)), 1)
         desc = jnp.where(vslot[:, None], desc, 0.0)
         if cfg.half_sift:
             d = desc.reshape(-1, 16, 8)

@@ -124,3 +124,20 @@ def test_match_sharded_tiled_guided(mesh, rng):
         H=H, hdistmax=8.0, n2_tile=32))
     np.testing.assert_array_equal(got, want)
     assert (got[:48] == np.arange(48)).mean() > 0.9
+
+
+@pytest.mark.parametrize("mutual", [True, False])
+def test_match_sharded_row_tiled_equals_untiled(mesh, rng, mutual):
+    """Map-scale mode with ROW tiling engaged (nloc > n1_tile, non-even
+    row-tile split): the nested scans' exact top-2 merges must equal the
+    untiled path, including the cross-row-tile column-stat merge."""
+    n1, n2 = 632, 100            # nloc=79 -> 5 row tiles of 16, 1 pad row
+    d1 = _descs(rng, n1)
+    d2 = _descs(rng, n2)
+    d2[10:74] = d1[200:264]
+    want = np.asarray(match_sharded(jnp.asarray(d1), jnp.asarray(d2),
+                                    mesh, mutual_best=mutual))
+    got = np.asarray(match_sharded(jnp.asarray(d1), jnp.asarray(d2),
+                                   mesh, mutual_best=mutual, n2_tile=16))
+    np.testing.assert_array_equal(got, want)
+    assert (got[200:264] == 10 + np.arange(64)).mean() > 0.9
