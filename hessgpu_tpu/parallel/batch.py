@@ -56,6 +56,18 @@ def detect_batch(images: np.ndarray, cfg: Optional[SiftConfig] = None,
     if mesh is None:
         return _batched_pipeline(arr, plan, ckey)
 
+    fn = _build_sharded_batch_fn((b, h, w), plan, ckey, mesh)
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return fn(jax.device_put(arr, sharding))
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_batch_fn(shape, plan, ckey, mesh: Mesh):
+    """Compiled shard_map program per (shape, plan, config, mesh):
+    rebuilding jit(shard_map(...)) per detect_batch call would re-trace
+    and recompile the whole pipeline on every invocation (the bug class
+    that made the sharded spatial path measure 28 s/frame)."""
+    b, h, w = shape
     axis = mesh.axis_names[0]
     spec_in = P(axis)
 
@@ -67,10 +79,8 @@ def detect_batch(images: np.ndarray, cfg: Optional[SiftConfig] = None,
                                            jax.ShapeDtypeStruct(
                                                (b // mesh.size, h, w),
                                                jnp.float32)))
-    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh, in_specs=spec_in,
-                               out_specs=out_spec))
-    sharding = NamedSharding(mesh, spec_in)
-    return fn(jax.device_put(arr, sharding))
+    return jax.jit(jax.shard_map(local_fn, mesh=mesh, in_specs=spec_in,
+                                 out_specs=out_spec))
 
 
 def data_parallel_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -476,6 +476,24 @@ def _assemble_feature_table(res: dict, G: int):
 def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
                          describe: bool,
                          use_pallas: Optional[bool] = None):
+    """Cached-dispatch wrapper: the compiled shard_map program is built
+    once per (shape, config, mesh, mode) by _build_sharded_fn and reused
+    - building jit(shard_map(...)) per call recompiled the whole sharded
+    pipeline EVERY invocation (measured 28 s/frame on chip for a program
+    whose steady-state run is tens of ms)."""
+    from ..pyramid import _CfgKey
+
+    axis = mesh.axis_names[0]
+    fn, G = _build_sharded_fn(img.shape, _CfgKey(cfg), mesh, describe,
+                              use_pallas)
+    sharding = NamedSharding(mesh, P(axis, None))
+    res = fn(jax.device_put(img, sharding))
+    return (res, G) if describe else res
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_fn(HW, ckey, mesh: Mesh, describe: bool,
+                      use_pallas: Optional[bool]):
     """Full multi-octave keypoint detection on a row-sharded image.
 
     Replaces the reference's hard -maxd working-size ceiling
@@ -502,6 +520,7 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
     """
     import math as _math
 
+    cfg = ckey.cfg
     from ..ops.compaction import compact_level_keypoints
     from ..ops.keypoint import TYPE_NONE, detect_keypoints_level
     from ..ops.resize import downsample
@@ -511,7 +530,7 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
     p = cfg.scale_params()
     axis = mesh.axis_names[0]
     n = mesh.size
-    H, W = img.shape
+    H, W = HW
 
     noct = required_octaves(min(H, W), cfg.min_dim)
     if cfg.num_octaves > 0:
@@ -762,6 +781,4 @@ def _sharded_detect_impl(img: jnp.ndarray, cfg, mesh: Mesh,
         out_specs=ospec,
         # pallas_call outputs carry no varying-mesh-axes annotation
         check_vma=False))
-    sharding = NamedSharding(mesh, P(axis, None))
-    res = fn(jax.device_put(img, sharding))
-    return (res, G) if describe else res
+    return fn, (G if describe else None)
